@@ -1,0 +1,277 @@
+"""Online joint reachable sets (JRS) for the Bezier trajectory family.
+
+TPU-native equivalent of BezierCurve::makePolyZono (Trajectory.cu:63-254) and
+the MATLAB create_jrs_online.m: for every time sub-interval of the horizon,
+bound the k-independent part of q/qd/qdd by closed-form extrema, bound the
+k coefficient over the sub-interval, take a 1st-order Taylor expansion of
+cos/sin with an interval Lagrange remainder, and inject the controller
+tracking-error generators (qe/qde/qdae/qddae).  Everything is built as dense
+BPZ tensors over [T, J] in one shot — the reference's 128-iteration OpenMP
+loop becomes broadcasted tensor arithmetic.
+
+Each cos/sin PZ has exactly: center + (k_i coefficient) + (dedicated error
+generator), mirroring the 2-monomial structure of the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bezier
+from .config import ArmourConfig
+from .pz import interval as iv
+from .pz.basis import KBasis, error_layout
+from .pz.bpz import BPZ
+from .robot import RobotModel
+
+SQRT3_6 = float(np.sqrt(3.0) / 6.0)
+QDD_K_DEP_MAXIMA = 0.5 - SQRT3_6  # Trajectory.h:7
+QDD_K_DEP_MINIMA = 0.5 + SQRT3_6  # Trajectory.h:8
+
+
+@dataclasses.dataclass
+class TrajectoryCoeffs:
+    """Initial-state-dependent scalars shared by JRS, cost and extrema."""
+
+    q0: jnp.ndarray      # [F]
+    qd0: jnp.ndarray     # [F]
+    qdd0: jnp.ndarray    # [F]
+    Tqd0: jnp.ndarray    # [F] qd0 * duration
+    TTqdd0: jnp.ndarray  # [F] qdd0 * duration^2
+
+
+@dataclasses.dataclass
+class JRS:
+    """Per-time-step PZs of the desired trajectory."""
+
+    R: BPZ        # [T, J+1, 3, 3] joint rotations (last = identity)
+    Rt: BPZ       # [T, J, 3, 3] transposes
+    qd: BPZ       # [T, F]
+    qda: BPZ      # [T, F] auxiliary velocity (qdae error var)
+    qdda: BPZ     # [T, F] auxiliary acceleration
+    traj: TrajectoryCoeffs
+
+
+jax.tree_util.register_dataclass(
+    TrajectoryCoeffs, data_fields=["q0", "qd0", "qdd0", "Tqd0", "TTqdd0"], meta_fields=[]
+)
+jax.tree_util.register_dataclass(
+    JRS, data_fields=["R", "Rt", "qd", "qda", "qdda", "traj"], meta_fields=[]
+)
+
+
+def _bound_k_indep(fn, extrema_fn, Tqd0, TTqdd0, q0, s_lb, s_ub, duration=None):
+    """Bound fn(s) over [s_lb, s_ub] using endpoint values + interior critical
+    points (Trajectory.cu:80-99 pattern).  Shapes: s [T, 1], params [F]."""
+    kwargs = {} if duration is None else {"duration": duration}
+    v_lb = fn(q0, Tqd0, TTqdd0, s_lb, **kwargs)
+    v_ub = fn(q0, Tqd0, TTqdd0, s_ub, **kwargs)
+    lo = jnp.minimum(v_lb, v_ub)
+    hi = jnp.maximum(v_lb, v_ub)
+    e1, e2 = extrema_fn(Tqd0, TTqdd0)
+    for e in (e1, e2):
+        ve = fn(q0, Tqd0, TTqdd0, e, **kwargs)
+        inside = (s_lb < e) & (e < s_ub) & jnp.isfinite(e) & jnp.isfinite(ve)
+        lo = jnp.where(inside, jnp.minimum(lo, ve), lo)
+        hi = jnp.where(inside, jnp.maximum(hi, ve), hi)
+    return lo, hi
+
+
+def _rot_pattern(axis: int, c, s, dtype):
+    """Axis rotation matrix from (cos, sin) entries, generator form
+    (zeros elsewhere; PZsparse.cu:212-259 makeRotationMatrix)."""
+    z = jnp.zeros_like(c)
+    if axis == 1:
+        rows = [[z, z, z], [z, c, -s], [z, s, c]]
+    elif axis == 2:
+        rows = [[c, z, s], [z, z, z], [-s, z, c]]
+    elif axis == 3:
+        rows = [[c, -s, z], [s, c, z], [z, z, z]]
+    else:
+        raise ValueError(axis)
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2).astype(dtype)
+
+
+def _one_hot(idx: int, n: int, dtype):
+    return jnp.zeros((n,), dtype=dtype).at[idx].set(1.0)
+
+
+def build_jrs(q0, qd0, qdd0, robot: RobotModel, cfg: ArmourConfig, basis: KBasis) -> JRS:
+    """Build the online JRS for one initial state.  q0/qd0/qdd0: [F]."""
+    dt = cfg.dtype
+    T = cfg.num_time_steps
+    F = robot.num_factors
+    J = robot.num_joints
+    E = error_layout(basis.nf)["size"]
+    lay = error_layout(basis.nf)
+    B = basis.size
+    dur = cfg.duration
+    ub = cfg.ub
+
+    q0 = jnp.asarray(q0, dt)
+    qd0 = jnp.asarray(qd0, dt)
+    qdd0 = jnp.asarray(qdd0, dt)
+    Tqd0 = qd0 * dur
+    TTqdd0 = qdd0 * dur * dur
+    traj = TrajectoryCoeffs(q0=q0, qd0=qd0, qdd0=qdd0, Tqd0=Tqd0, TTqdd0=TTqdd0)
+
+    ds = 1.0 / T
+    s_lb = (jnp.arange(T, dtype=dt) * ds)[:, None]        # [T, 1]
+    s_ub = s_lb + ds
+    k_range = jnp.asarray(cfg.k_range, dt)                # [F]
+
+    # ---- Part 1: q_des -> cos/sin PZs (Trajectory.cu:79-145) ----
+    kd_lb = s_lb**3 * (6.0 * s_lb**2 - 15.0 * s_lb + 10.0)
+    kd_ub = s_ub**3 * (6.0 * s_ub**2 - 15.0 * s_ub + 10.0)
+    kd_center = (kd_ub + kd_lb) * 0.5                      # [T, 1] (unscaled)
+    kd_radius = (kd_ub - kd_lb) * 0.5 * k_range            # [T, F]
+
+    ki_lo, ki_hi = _bound_k_indep(
+        bezier.q_des_k_indep, bezier.q_des_k_indep_extrema, Tqd0, TTqdd0, q0, s_lb, s_ub
+    )
+    ki_radius = (ki_hi - ki_lo) * 0.5
+    qc = (ki_hi + ki_lo) * 0.5                             # [T, F]
+
+    Rq = kd_radius + ki_radius + ub.qe                     # q_des interval radius
+    W = Rq + jnp.abs(kd_center) * k_range                  # total k+indep width
+    q_rad = iv.sym(Rq)
+    J_int = (qc - W, qc + W)
+    pow_term = (jnp.zeros_like(W), W * W)
+
+    cosJ = iv.cos(J_int)
+    rem_cos = iv.add(
+        iv.scale(q_rad, -jnp.sin(qc)),
+        iv.scale(iv.mul(cosJ, pow_term), -0.5),
+    )
+    cos_c = jnp.cos(qc) + iv.center(rem_cos)               # [T, F]
+    cos_k = -kd_center * k_range * jnp.sin(qc)
+    cos_e = iv.radius(rem_cos)
+
+    sinJ = iv.sin(J_int)
+    rem_sin = iv.add(
+        iv.scale(q_rad, jnp.cos(qc)),
+        iv.scale(iv.mul(sinJ, pow_term), -0.5),
+    )
+    sin_c = jnp.sin(qc) + iv.center(rem_sin)
+    sin_k = kd_center * k_range * jnp.cos(qc)
+    sin_e = iv.radius(rem_sin)
+
+    # ---- Part 2: qd_des / qda_des (Trajectory.cu:155-195) ----
+    v_lb = 30.0 * s_lb**2 * (s_lb - 1.0) ** 2 / dur
+    v_ub = 30.0 * s_ub**2 * (s_ub - 1.0) ** 2 / dur
+    v_lo = jnp.minimum(v_lb, v_ub)
+    v_hi = jnp.maximum(v_lb, v_ub)
+    vd_center = (v_hi + v_lo) * 0.5 * k_range              # [T, F]
+    vd_radius = (v_hi - v_lo) * 0.5 * k_range
+
+    vi_lo, vi_hi = _bound_k_indep(
+        bezier.qd_des_k_indep, bezier.qd_des_k_indep_extrema, Tqd0, TTqdd0, q0,
+        s_lb, s_ub, duration=dur,
+    )
+    vi_radius = (vi_hi - vi_lo) * 0.5
+    qd_center = (vi_hi + vi_lo) * 0.5
+
+    qd_e = vd_radius + vi_radius + ub.qde
+    qda_e = vd_radius + vi_radius + ub.qdae
+
+    # ---- Part 3: qdda_des (Trajectory.cu:197-241) ----
+    def acc(s):
+        return 60.0 * s * (2.0 * s**2 - 3.0 * s + 1.0) / (dur * dur)
+
+    t_lb = acc(s_lb)
+    t_ub = acc(s_ub)
+    aA = acc(jnp.asarray(QDD_K_DEP_MAXIMA, dt))
+    aB = acc(jnp.asarray(QDD_K_DEP_MINIMA, dt))
+    in_reg1 = s_ub <= QDD_K_DEP_MAXIMA
+    in_reg2 = (~in_reg1) & (s_lb <= QDD_K_DEP_MAXIMA)
+    in_reg3 = (~in_reg1) & (~in_reg2) & (s_ub <= QDD_K_DEP_MINIMA)
+    in_reg4 = (~in_reg1) & (~in_reg2) & (~in_reg3) & (s_lb <= QDD_K_DEP_MINIMA)
+    a_lo = jnp.where(
+        in_reg1, t_lb,
+        jnp.where(in_reg2, jnp.minimum(t_lb, t_ub),
+                  jnp.where(in_reg3, t_ub, jnp.where(in_reg4, aB, t_lb))),
+    )
+    a_hi = jnp.where(
+        in_reg1, t_ub,
+        jnp.where(in_reg2, aA,
+                  jnp.where(in_reg3, t_lb, jnp.where(in_reg4, jnp.maximum(t_lb, t_ub), t_ub))),
+    )
+    ad_center = (a_hi + a_lo) * 0.5 * k_range
+    ad_radius = (a_hi - a_lo) * 0.5 * k_range
+
+    ai_lo, ai_hi = _bound_k_indep(
+        bezier.qdd_des_k_indep, bezier.qdd_des_k_indep_extrema, Tqd0, TTqdd0, q0,
+        s_lb, s_ub, duration=dur,
+    )
+    ai_radius = (ai_hi - ai_lo) * 0.5
+    qdd_center = (ai_hi + ai_lo) * 0.5
+    qdda_e = ad_radius + ai_radius + ub.qddae
+
+    # ---- assemble velocity/acceleration BPZ tensors [T, F] ----
+    lin = basis.lin_idx  # [F] basis slot of k_i
+    k_onehot = jnp.stack([_one_hot(int(lin[i]), B, dt) for i in range(F)])   # [F, B]
+    e0 = _one_hot(0, B, dt)
+
+    def vel_pz(center, kcoef, ecoef, egroup: slice) -> BPZ:
+        coef = center[..., None] * e0 + kcoef[..., None] * k_onehot
+        eg = jnp.zeros((T, F, E), dt)
+        idx = np.arange(F) + egroup.start
+        eg = eg.at[:, np.arange(F), idx].set(ecoef)
+        return BPZ(coef=coef, egen=eg, rad=jnp.zeros((T, F), dt))
+
+    qd_pz = vel_pz(qd_center, vd_center, qd_e, lay["qde"])
+    qda_pz = vel_pz(qd_center, vd_center, qda_e, lay["qdae"])
+    qdda_pz = vel_pz(qdd_center, ad_center, qdda_e, lay["qddae"])
+
+    # ---- rotation PZs R / Rt [T, J+1, 3, 3] (Trajectory.cu:136-153,244-253) ----
+    rotm = jnp.asarray(robot.rot_mats, dt)  # [J, 3, 3] fixed rpy rotations
+    R_coef = []
+    R_egen = []
+    ones = jnp.ones((T,), dt)
+    zerosT = jnp.zeros((T,), dt)
+    for i in range(J):
+        axis = int(robot.axes[i])
+        coef_i = jnp.zeros((T, 3, 3, B), dt)
+        egen_i = jnp.zeros((T, 3, 3, E), dt)
+        if axis == 0 or i >= F:
+            full = jnp.eye(3, dtype=dt)
+            ctr = rotm[i] @ full
+            coef_i = coef_i.at[..., 0].set(jnp.broadcast_to(ctr, (T, 3, 3)))
+        else:
+            rot_c = _rot_pattern(axis, cos_c[:, i], sin_c[:, i], dt)
+            # identity completion on the axis row/col
+            eye_axis = jnp.eye(3, dtype=dt).at[:, :].multiply(0.0).at[axis - 1, axis - 1].set(1.0)
+            ctr = jnp.einsum("ab,tbc->tac", rotm[i], rot_c + eye_axis)
+            coef_i = coef_i.at[..., 0].set(ctr)
+            kmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_k[:, i], sin_k[:, i], dt))
+            coef_i = coef_i.at[..., int(lin[i])].set(kmat)
+            cmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_e[:, i], zerosT, dt))
+            smat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, zerosT, sin_e[:, i], dt))
+            egen_i = egen_i.at[..., lay["cosqe"].start + i].set(cmat)
+            egen_i = egen_i.at[..., lay["sinqe"].start + i].set(smat)
+        R_coef.append(coef_i)
+        R_egen.append(egen_i)
+
+    # identity closing rotation (R(NUM_JOINTS); Trajectory.cu:252)
+    coef_id = jnp.zeros((T, 3, 3, B), dt).at[..., 0].set(
+        jnp.broadcast_to(jnp.eye(3, dtype=dt), (T, 3, 3))
+    )
+    R_coef.append(coef_id)
+    R_egen.append(jnp.zeros((T, 3, 3, E), dt))
+
+    R = BPZ(
+        coef=jnp.stack(R_coef, axis=1),
+        egen=jnp.stack(R_egen, axis=1),
+        rad=jnp.zeros((T, J + 1, 3, 3), dt),
+    )
+    Rt = BPZ(
+        coef=jnp.swapaxes(R.coef[:, :J], 2, 3),
+        egen=jnp.swapaxes(R.egen[:, :J], 2, 3),
+        rad=jnp.swapaxes(R.rad[:, :J], 2, 3),
+    )
+
+    return JRS(R=R, Rt=Rt, qd=qd_pz, qda=qda_pz, qdda=qdda_pz, traj=traj)
