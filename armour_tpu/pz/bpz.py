@@ -118,7 +118,7 @@ def _bc_last(x: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def bilinear(a: BPZ, b: BPZ, prod: Callable, absprod: Callable, basis: KBasis,
-             slop: float = 0.0) -> BPZ:
+             slop: float = 0.0, absprod_t: Callable | None = None) -> BPZ:
     """Generic PZ x PZ bilinear product (PZsparse.cu:864-994 semantics).
 
     k-poly x k-poly products that stay within the basis are tracked exactly
@@ -134,7 +134,10 @@ def bilinear(a: BPZ, b: BPZ, prod: Callable, absprod: Callable, basis: KBasis,
     gB = jnp.take(b.coef, TJ, axis=-1)          # [..., bmat, P]
     pp = prod(gA, gB)                           # [..., omat, P]
     coef = pp @ S                               # [..., omat, B]
-    in_abs = jnp.sum(jnp.abs(pp), axis=-1)      # [..., omat]
+    # sum of |a_i||b_j| over in-table pairs (abs BEFORE any contraction, so
+    # legitimate in-basis cancellation is not charged to the radius)
+    abs_pair = absprod_t if absprod_t is not None else prod
+    in_abs = jnp.sum(abs_pair(jnp.abs(gA), jnp.abs(gB)), axis=-1)  # [..., omat]
 
     Sa = jnp.sum(jnp.abs(a.coef), axis=-1)
     Sb = jnp.sum(jnp.abs(b.coef), axis=-1)
@@ -206,9 +209,21 @@ def _cross_abs(x, y):
     )
 
 
+def _cross_abs_t(x, y):
+    return jnp.stack(
+        [
+            x[..., 1, :] * y[..., 2, :] + x[..., 2, :] * y[..., 1, :],
+            x[..., 2, :] * y[..., 0, :] + x[..., 0, :] * y[..., 2, :],
+            x[..., 0, :] * y[..., 1, :] + x[..., 1, :] * y[..., 0, :],
+        ],
+        axis=-2,
+    )
+
+
 def cross(a: BPZ, b: BPZ, basis: KBasis, slop: float = 0.0) -> BPZ:
     """3-vector cross product (PZsparse.cu:1087-1167)."""
-    return bilinear(a, b, _cross_pair, _cross_abs, basis, slop)
+    return bilinear(a, b, _cross_pair, _cross_abs, basis, slop,
+                    absprod_t=_cross_abs_t)
 
 
 def cross_const(m: jnp.ndarray, b: BPZ) -> BPZ:
@@ -229,6 +244,34 @@ def cross_const(m: jnp.ndarray, b: BPZ) -> BPZ:
     egen = cr(mm, b.egen)
     rad = _cross_abs(jnp.abs(mm), b.rad)
     return BPZ(coef=coef, egen=egen, rad=rad)
+
+
+def matvec_cvec(a: BPZ, v: jnp.ndarray) -> BPZ:
+    """PZ matrix [..., n, m, :] times exact constant vector [..., m] — exact,
+    no rounding."""
+    vv = jnp.asarray(v)
+    coef = jnp.einsum("...ijt,...j->...it", a.coef, vv)
+    egen = jnp.einsum("...ijt,...j->...it", a.egen, vv)
+    rad = jnp.einsum("...ij,...j->...i", a.rad, jnp.abs(vv))
+    return BPZ(coef=coef, egen=egen, rad=rad)
+
+
+def cross_pz_const(a: BPZ, v: jnp.ndarray) -> BPZ:
+    """cross(PZ vector, constant vector) — exact (PZsparse.cu:574-592)."""
+    vv = jnp.asarray(v)
+
+    def cr(x):
+        return jnp.stack(
+            [
+                x[..., 1, :] * vv[..., 2, None] - x[..., 2, :] * vv[..., 1, None],
+                x[..., 2, :] * vv[..., 0, None] - x[..., 0, :] * vv[..., 2, None],
+                x[..., 0, :] * vv[..., 1, None] - x[..., 1, :] * vv[..., 0, None],
+            ],
+            axis=-2,
+        )
+
+    rad = _cross_abs(a.rad, jnp.abs(vv))
+    return BPZ(coef=cr(a.coef), egen=cr(a.egen), rad=rad)
 
 
 def matvec_const(m: jnp.ndarray, b: BPZ) -> BPZ:
