@@ -1,0 +1,351 @@
+"""Batched trajectory-optimization NLP (replaces Ipopt + MA97).
+
+The problem (NLPclass.cu:46-54): n = F variables k in [-1,1]^F;
+  cost = COST_SCALE * sum_j wrap(q_plan_j(k) - q_des_j)^2   (wrap on
+    continuous joints; NLPclass.cu:207-267)
+  subject to
+    torque:    |u_nom_j(k, t)| <= torque_limit_j - torque_radius(j, t)
+    collision: g_col(k) <= 0 for every (time, link, obstacle)
+    state:     position/velocity extrema over the whole trajectory within
+               limits shrunk by the ultimate bounds (NLPclass.cu:136-162)
+
+With only F=7 variables and a dense cheap-to-evaluate constraint set, a
+fixed-iteration augmented-Lagrangian method with a projected Gauss-Newton
+inner loop maps perfectly onto TPU: every constraint row is a polynomial
+evaluation, the KKT system is FxF, and the whole solve is one jitted
+lax.fori_loop — batched over worlds with vmap/shard_map.
+
+Feasibility is re-checked explicitly against the reference's violation
+thresholds at the end (finalize_solution semantics, NLPclass.cu:422-538);
+infeasible -> NaN k (caller falls back to braking, uarmtd_planner.m:910-921).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import bezier
+from .collision import BIG, Hyperplanes, ObstacleSet, collision_constraints
+from .config import ArmourConfig
+from .dynamics import TorqueFRS
+from .jrs import TrajectoryCoeffs
+from .kinematics import LinkFRS
+from .pz.basis import KBasis
+from .robot import RobotModel
+
+
+def wrap_to_pi(x):
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+# ---------------------------------------------------------------------------
+# cost (NLPclass.cu:207-267)
+# ---------------------------------------------------------------------------
+
+
+def plan_cost(k, traj: TrajectoryCoeffs, q_des, robot: RobotModel, cfg: ArmourConfig):
+    k_act = k * jnp.asarray(cfg.k_range, k.dtype)
+    s_plan = cfg.t_plan / cfg.duration
+    q_plan = bezier.q_des(traj.q0, traj.Tqd0, traj.TTqdd0, k_act, s_plan)
+    diff = q_plan - q_des
+    cont = jnp.asarray(robot.continuous_joints)
+    diff = jnp.where(cont, wrap_to_pi(diff), diff)
+    return cfg.cost_scale * jnp.sum(diff * diff)
+
+
+# ---------------------------------------------------------------------------
+# state-limit extrema over the whole trajectory (Trajectory.cu:256-540)
+# ---------------------------------------------------------------------------
+
+
+def _collect_extrema(vals, valid, roots, v0, v1):
+    """min/max over {t=0, t=1} plus interior roots restricted to [0, 1]."""
+    lo = jnp.minimum(v0, v1)
+    hi = jnp.maximum(v0, v1)
+    for v, ok, r in zip(vals, valid, roots):
+        inside = ok & (0.0 <= r) & (r <= 1.0) & jnp.isfinite(r) & jnp.isfinite(v)
+        lo = jnp.where(inside, jnp.minimum(lo, v), lo)
+        hi = jnp.where(inside, jnp.maximum(hi, v), hi)
+    return lo, hi
+
+
+def joint_position_extrema(k, traj: TrajectoryCoeffs, cfg: ArmourConfig):
+    """(q_min, q_max) [F] over the trajectory and their dk gradients [F]
+    (diagonal; envelope theorem at interior roots makes the gradient
+    ds^3(6s^2-15s+10) * k_range at the critical time)."""
+    k_range = jnp.asarray(cfg.k_range, k.dtype)
+    k_act = k * k_range
+    q0, Tqd0, TTqdd0 = traj.q0, traj.Tqd0, traj.TTqdd0
+
+    e2, e3, valid = bezier.q_extrema_in_k(Tqd0, TTqdd0, k_act)
+    v0 = bezier.q_des(q0, Tqd0, TTqdd0, k_act, jnp.zeros_like(k))
+    v1 = bezier.q_des(q0, Tqd0, TTqdd0, k_act, jnp.ones_like(k))
+    v2 = bezier.q_des(q0, Tqd0, TTqdd0, k_act, e2)
+    v3 = bezier.q_des(q0, Tqd0, TTqdd0, k_act, e3)
+
+    def dq_dk(s):
+        return s**3 * (6.0 * s**2 - 15.0 * s + 10.0)
+
+    cands = jnp.stack([v0, v1, v2, v3])      # [4, F]
+    grads = jnp.stack([jnp.zeros_like(k), jnp.ones_like(k), dq_dk(e2), dq_dk(e3)])
+    inside = jnp.stack(
+        [
+            jnp.ones_like(k, dtype=bool),
+            jnp.ones_like(k, dtype=bool),
+            valid & (0.0 <= e2) & (e2 <= 1.0) & jnp.isfinite(e2) & jnp.isfinite(v2),
+            valid & (0.0 <= e3) & (e3 <= 1.0) & jnp.isfinite(e3) & jnp.isfinite(v3),
+        ]
+    )
+    cands_lo = jnp.where(inside, cands, BIG)
+    cands_hi = jnp.where(inside, cands, -BIG)
+    i_lo = jnp.argmin(cands_lo, axis=0)
+    i_hi = jnp.argmax(cands_hi, axis=0)
+    q_min = jnp.take_along_axis(cands_lo, i_lo[None], axis=0)[0]
+    q_max = jnp.take_along_axis(cands_hi, i_hi[None], axis=0)[0]
+    g_min = jnp.take_along_axis(grads, i_lo[None], axis=0)[0] * k_range
+    g_max = jnp.take_along_axis(grads, i_hi[None], axis=0)[0] * k_range
+    return q_min, q_max, g_min, g_max
+
+
+def joint_velocity_extrema(k, traj: TrajectoryCoeffs, cfg: ArmourConfig):
+    """(qd_min, qd_max) [F] and dk gradients (Trajectory.cu:399-540)."""
+    k_range = jnp.asarray(cfg.k_range, k.dtype)
+    k_act = k * k_range
+    q0, Tqd0, TTqdd0 = traj.q0, traj.Tqd0, traj.TTqdd0
+    dur = cfg.duration
+
+    e2, e3, valid = bezier.qd_extrema_in_k(Tqd0, TTqdd0, k_act)
+    v0 = bezier.qd_des(q0, Tqd0, TTqdd0, k_act, jnp.zeros_like(k))
+    v1 = bezier.qd_des(q0, Tqd0, TTqdd0, k_act, jnp.ones_like(k))
+    v2 = bezier.qd_des(q0, Tqd0, TTqdd0, k_act, e2)
+    v3 = bezier.qd_des(q0, Tqd0, TTqdd0, k_act, e3)
+
+    def dqd_dk(s):
+        return 30.0 * s**2 * (s - 1.0) ** 2
+
+    cands = jnp.stack([v0, v1, v2, v3])
+    grads = jnp.stack([jnp.zeros_like(k), jnp.zeros_like(k), dqd_dk(e2), dqd_dk(e3)])
+    inside = jnp.stack(
+        [
+            jnp.ones_like(k, dtype=bool),
+            jnp.ones_like(k, dtype=bool),
+            valid & (0.0 <= e2) & (e2 <= 1.0) & jnp.isfinite(e2) & jnp.isfinite(v2),
+            valid & (0.0 <= e3) & (e3 <= 1.0) & jnp.isfinite(e3) & jnp.isfinite(v3),
+        ]
+    )
+    cands_lo = jnp.where(inside, cands, BIG)
+    cands_hi = jnp.where(inside, cands, -BIG)
+    i_lo = jnp.argmin(cands_lo, axis=0)
+    i_hi = jnp.argmax(cands_hi, axis=0)
+    qd_min = jnp.take_along_axis(cands_lo, i_lo[None], axis=0)[0] / dur
+    qd_max = jnp.take_along_axis(cands_hi, i_hi[None], axis=0)[0] / dur
+    g_min = jnp.take_along_axis(grads, i_lo[None], axis=0)[0] * k_range / dur
+    g_max = jnp.take_along_axis(grads, i_hi[None], axis=0)[0] * k_range / dur
+    return qd_min, qd_max, g_min, g_max
+
+
+# ---------------------------------------------------------------------------
+# constraint assembly: one-sided c(k) <= 0 stack
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlanProblem:
+    """Everything the solver needs, precomputed once per plan."""
+
+    traj: TrajectoryCoeffs
+    q_des: jnp.ndarray
+    torque: TorqueFRS
+    frs: LinkFRS
+    hyp: Hyperplanes
+    obs: ObstacleSet
+
+
+def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
+                     basis: KBasis, with_grad: bool = True):
+    """All inequality constraints c(k) <= 0 and (optionally) their Jacobian.
+
+    Ordering: [torque_hi; torque_lo; collision; pos_min_lo; pos_min_hi;
+    pos_max_lo; pos_max_hi; vel_min_lo; vel_min_hi; vel_max_lo; vel_max_hi].
+    """
+    dt = k.dtype
+    phi = basis.phi(k)
+    dphi = basis.dphi(k) if with_grad else None
+    ub = cfg.ub
+    tl = jnp.asarray(robot.torque_limits, dt)
+    cs, Js = [], []
+
+    if not cfg.turn_off_input_constraints:
+        u = jnp.einsum("tfm,m->tf", prob.torque.u_coef, phi)             # [T, F]
+        hi = tl[None, :] - prob.torque.torque_radius
+        cs += [(u - hi).reshape(-1), (-u - hi).reshape(-1)]
+        if with_grad:
+            du = jnp.einsum("tfm,mg->tfg", prob.torque.u_coef, dphi)
+            du = du.reshape(-1, k.shape[0])
+            Js += [du, -du]
+
+    p = jnp.einsum("tjam,m->tja", prob.frs.center_coef, phi)
+    g_col, grad_p = collision_constraints(prob.hyp, prob.obs, p)
+    cs.append(g_col.reshape(-1))
+    if with_grad:
+        dp = jnp.einsum("tjam,mf->tjaf", prob.frs.center_coef, dphi)
+        Jc = jnp.einsum("tjoa,tjaf->tjof", grad_p, dp).reshape(-1, k.shape[0])
+        Js.append(Jc)
+
+    q_min, q_max, gq_min, gq_max = joint_position_extrema(k, prob.traj, cfg)
+    qd_min, qd_max, gd_min, gd_max = joint_velocity_extrema(k, prob.traj, cfg)
+    pos_lb = jnp.asarray(robot.position_limits_lb, dt) + ub.qe
+    pos_ub = jnp.asarray(robot.position_limits_ub, dt) - ub.qe
+    vel_ub = jnp.asarray(robot.speed_limits, dt) - ub.qde
+
+    F = k.shape[0]
+    eye = jnp.eye(F, dtype=dt)
+    for val, grad in ((q_min, gq_min), (q_max, gq_max)):
+        cs += [pos_lb - val, val - pos_ub]
+        if with_grad:
+            Js += [-grad[:, None] * eye, grad[:, None] * eye]
+    for val, grad in ((qd_min, gd_min), (qd_max, gd_max)):
+        cs += [-vel_ub - val, val - vel_ub]
+        if with_grad:
+            Js += [-grad[:, None] * eye, grad[:, None] * eye]
+
+    c = jnp.concatenate(cs)
+    if with_grad:
+        return c, jnp.concatenate(Js, axis=0)
+    return c, None
+
+
+def max_violations(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
+                   basis: KBasis):
+    """Per-group max violation for the finalize_solution feasibility check
+    (NLPclass.cu:446-538)."""
+    dt = k.dtype
+    phi = basis.phi(k)
+    ub = cfg.ub
+    tl = jnp.asarray(robot.torque_limits, dt)
+
+    u = jnp.einsum("tfm,m->tf", prob.torque.u_coef, phi)
+    hi = tl[None, :] - prob.torque.torque_radius
+    v_torque = jnp.max(jnp.abs(u) - hi)
+
+    p = jnp.einsum("tjam,m->tja", prob.frs.center_coef, phi)
+    g_col, _ = collision_constraints(prob.hyp, prob.obs, p)
+    v_col = jnp.max(g_col)
+
+    q_min, q_max, _, _ = joint_position_extrema(k, prob.traj, cfg)
+    qd_min, qd_max, _, _ = joint_velocity_extrema(k, prob.traj, cfg)
+    pos_lb = jnp.asarray(robot.position_limits_lb, dt) + ub.qe
+    pos_ub = jnp.asarray(robot.position_limits_ub, dt) - ub.qe
+    vel_ub = jnp.asarray(robot.speed_limits, dt) - ub.qde
+    v_state = jnp.max(
+        jnp.stack(
+            [
+                jnp.max(pos_lb - q_min), jnp.max(q_min - pos_ub),
+                jnp.max(pos_lb - q_max), jnp.max(q_max - pos_ub),
+                jnp.max(-vel_ub - qd_min), jnp.max(qd_min - vel_ub),
+                jnp.max(-vel_ub - qd_max), jnp.max(qd_max - vel_ub),
+            ]
+        )
+    )
+    return v_torque, v_col, v_state
+
+
+def is_feasible(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
+                basis: KBasis):
+    v_torque, v_col, v_state = max_violations(k, prob, robot, cfg, basis)
+    return (
+        (v_torque <= cfg.torque_violation_threshold)
+        & (v_col <= cfg.collision_violation_threshold)
+        & (v_state <= 1e-6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# augmented-Lagrangian solver with projected Gauss-Newton inner steps
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SolveResult:
+    k: jnp.ndarray
+    feasible: jnp.ndarray
+    cost: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    SolveResult, data_fields=["k", "feasible", "cost"], meta_fields=[]
+)
+
+
+def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
+          k0=None) -> SolveResult:
+    """Jittable ALM solve.  Returns k (NaN if infeasible, mirroring the
+    reference's braking-fallback contract, armour_main.cu:324-332)."""
+    dt = prob.q_des.dtype
+    F = prob.q_des.shape[-1]
+    k = jnp.zeros((F,), dt) if k0 is None else jnp.asarray(k0, dt)
+
+    cost_fn = lambda kk: plan_cost(kk, prob.traj, prob.q_des, robot, cfg)
+    cost_grad = jax.grad(cost_fn)
+
+    c0, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
+    m = c0.shape[0]
+    lam = jnp.zeros((m,), dt)
+    rho0 = jnp.asarray(10.0, dt)
+
+    def clip_big(c):
+        # padded/degenerate constraint rows sit at -BIG; keep them inert
+        return jnp.maximum(c, -1e6)
+
+    def inner_step(k, lam, rho):
+        c, Jc = constraint_stack(k, prob, robot, cfg, basis, with_grad=True)
+        c = clip_big(c)
+        act = (lam + rho * c) > 0.0                       # active set
+        w = jnp.where(act, rho, 0.0)
+        lam_eff = jnp.where(act, lam + rho * c, 0.0)
+        g = cost_grad(k) + Jc.T @ lam_eff                 # [F]
+        H = (Jc.T * w) @ Jc + 1e-3 * jnp.eye(F, dtype=dt)
+        # Gauss-Newton on the cost: quadratic => exact Hessian is cheap
+        Hc = jax.hessian(cost_fn)(k)
+        H = H + Hc + 1e-6 * jnp.eye(F, dtype=dt)
+        step = jnp.linalg.solve(H, g)
+
+        def merit(kk):
+            cc = clip_big(constraint_stack(kk, prob, robot, cfg, basis, with_grad=False)[0])
+            pen = jnp.sum(jnp.where(lam + rho * cc > 0, (lam + rho * cc) ** 2, 0.0)) / (2 * rho)
+            return cost_fn(kk) + pen
+
+        m0 = merit(k)
+
+        def try_alpha(alpha):
+            kk = jnp.clip(k - alpha * step, -1.0, 1.0)
+            return kk, merit(kk)
+
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03], dt)
+        kks, merits = jax.vmap(try_alpha)(alphas)
+        best = jnp.argmin(merits)
+        k_new = jnp.where(merits[best] < m0, kks[best], k)
+        return k_new
+
+    def outer(i, carry):
+        k, lam, rho = carry
+        k = jax.lax.fori_loop(
+            0, cfg.solver_inner_iters, lambda j, kk: inner_step(kk, lam, rho), k
+        )
+        c, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
+        c = clip_big(c)
+        lam = jnp.maximum(lam + rho * c, 0.0)
+        rho = jnp.minimum(rho * 2.0, 1e6)
+        return (k, lam, rho)
+
+    k, lam, rho = jax.lax.fori_loop(0, cfg.solver_outer_iters, outer, (k, lam, rho0))
+
+    feasible = is_feasible(k, prob, robot, cfg, basis)
+    cost = cost_fn(k)
+    k_out = jnp.where(feasible, k, jnp.nan)
+    return SolveResult(k=k_out, feasible=feasible, cost=cost)

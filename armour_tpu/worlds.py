@@ -1,0 +1,139 @@
+"""World loading, random world generation, and goal checking.
+
+Covers load_saved_world.m (CSV scene format: row 1 start, row 2 goal, row 3
+NaN separator, rows 4+ obstacle center xyz + side lengths, generators =
+diag(side/2), box_obstacle_zonotope.m:22-26) and the rejection-sampled random
+scene generator of kinova_create_random_worlds.m / kinova_world_static.m.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .robot import RobotModel
+from .rnea_numeric import forward_kinematics
+
+
+@dataclasses.dataclass
+class World:
+    start: np.ndarray            # [F]
+    goal: np.ndarray             # [F]
+    obstacle_centers: np.ndarray     # [n, 3]
+    obstacle_generators: np.ndarray  # [n, 3, 3]
+
+    @property
+    def num_obstacles(self) -> int:
+        return self.obstacle_centers.shape[0]
+
+
+def load_world_csv(path: str) -> World:
+    """Parse the reference's saved-world CSV format (load_saved_world.m)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append([float(x) if x.lower() != "nan" else np.nan for x in line.split(",")])
+    start = np.asarray(rows[0][:7])
+    goal = np.asarray(rows[1][:7])
+    centers, gens = [], []
+    for r in rows[3:]:
+        c = np.asarray(r[:3])
+        side = np.asarray(r[3:6])
+        if np.any(np.isnan(c)) or np.any(np.isnan(side)):
+            continue
+        centers.append(c)
+        gens.append(np.diag(side / 2.0))
+    return World(
+        start=start,
+        goal=goal,
+        obstacle_centers=np.asarray(centers).reshape(-1, 3),
+        obstacle_generators=np.asarray(gens).reshape(-1, 3, 3),
+    )
+
+
+def save_world_csv(world: World, path: str) -> None:
+    with open(path, "w") as f:
+        f.write(",".join(f"{x:.6g}" for x in world.start) + "\n")
+        f.write(",".join(f"{x:.6g}" for x in world.goal) + "\n")
+        f.write(",".join(["NaN"] * 7) + "\n")
+        for c, g in zip(world.obstacle_centers, world.obstacle_generators):
+            side = 2.0 * np.diag(g)
+            f.write(",".join(f"{x:.6g}" for x in (*c, *side)) + "\n")
+
+
+def _arm_sphere_centers(robot: RobotModel, q: np.ndarray) -> np.ndarray:
+    """Link box centers along the arm for fast clearance checks."""
+    import jax.numpy as jnp
+
+    _, _, centers = forward_kinematics(robot, jnp.asarray(q))
+    return np.asarray(centers)
+
+
+def _aabb_clearance(point: np.ndarray, centers: np.ndarray, sides: np.ndarray) -> np.ndarray:
+    """Distance from point to each axis-aligned box surface (negative inside)."""
+    d = np.abs(point[None, :] - centers) - sides / 2.0
+    outside = np.linalg.norm(np.maximum(d, 0.0), axis=1)
+    inside = np.minimum(np.max(d, axis=1), 0.0)
+    return outside + inside
+
+
+def random_world(
+    rng: np.random.Generator,
+    robot: RobotModel,
+    n_obstacles: int,
+    obstacle_size_range: Tuple[float, float] = (0.01, 0.5),
+    workspace_radius: float = 1.0,
+    min_clearance: float = 0.15,
+    max_tries: int = 200,
+) -> World:
+    """Rejection-sampled random scene (kinova_create_random_worlds.m /
+    kinova_world_static.m:151-305 behavior): random collision-free start and
+    goal configurations, obstacles placed to keep clearance from both."""
+    lb = np.where(robot.position_limits_lb < -100, -np.pi, robot.position_limits_lb)
+    ub = np.where(robot.position_limits_ub > 100, np.pi, robot.position_limits_ub)
+
+    start = rng.uniform(lb, ub)
+    goal = rng.uniform(lb, ub)
+    pts = np.concatenate(
+        [_arm_sphere_centers(robot, start), _arm_sphere_centers(robot, goal)], axis=0
+    )
+
+    centers, gens = [], []
+    tries = 0
+    while len(centers) < n_obstacles and tries < max_tries * n_obstacles:
+        tries += 1
+        c = rng.uniform(-workspace_radius, workspace_radius, 3)
+        c[2] = rng.uniform(0.1, workspace_radius)  # above the floor
+        side = rng.uniform(*obstacle_size_range, 3)
+        clear = min(
+            float(np.min(_aabb_clearance(p, c[None], side[None]))) for p in pts
+        )
+        if clear > min_clearance:
+            centers.append(c)
+            gens.append(np.diag(side / 2.0))
+    return World(
+        start=start,
+        goal=goal,
+        obstacle_centers=np.asarray(centers).reshape(-1, 3),
+        obstacle_generators=np.asarray(gens).reshape(-1, 3, 3),
+    )
+
+
+def goal_check(q: np.ndarray, goal: np.ndarray, goal_radius: float = np.pi / 30) -> bool:
+    """Configuration-space goal test (kinova_world_static.goal_check)."""
+    d = np.mod(q - goal + np.pi, 2 * np.pi) - np.pi
+    return bool(np.linalg.norm(d) <= goal_radius)
+
+
+def straight_line_waypoint(q: np.ndarray, goal: np.ndarray, lookahead: float = 0.3) -> np.ndarray:
+    """Straight-line HLP (robot_arm_straight_line_HLP.m:45-57): step toward
+    the goal along the wrapped angular difference."""
+    d = np.mod(goal - q + np.pi, 2 * np.pi) - np.pi
+    dist = np.linalg.norm(d)
+    if dist <= lookahead:
+        return q + d
+    return q + d * (lookahead / dist)

@@ -1,0 +1,100 @@
+"""End-to-end single planning iteration (S6 slice): solver quality and
+ground-truth safety of the chosen trajectory parameter."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from armour_tpu import bezier, nlp, rnea_numeric
+from armour_tpu.collision import pad_obstacles
+from armour_tpu.config import ArmourConfig
+from armour_tpu.models.kinova import kinova_gen3
+from armour_tpu.planner import make_planner
+from armour_tpu.pz.basis import make_basis
+
+ROBOT = kinova_gen3()
+CFG = ArmourConfig(num_time_steps=32, dtype=jnp.float64, max_obstacles=8)
+BASIS = make_basis(7, 3)
+
+Q0 = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+QD0 = np.zeros(7)
+QDD0 = np.zeros(7)
+# waypoint a modest distance away (straight-line HLP style)
+Q_DES = Q0 + 0.04
+
+# two obstacles well clear of the arm plus one closer (from the reference's
+# example scene layout in armour_main.cu comments, scaled)
+OBS_C = np.array([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.8]])
+OBS_G = np.stack([np.diag([0.05, 0.05, 0.05]), np.diag([0.08, 0.08, 0.08])])
+
+
+@pytest.fixture(scope="module")
+def result():
+    step = make_planner(ROBOT, CFG)
+    obs = pad_obstacles(OBS_C, OBS_G, CFG.max_obstacles, CFG.dtype)
+    return step(
+        jnp.asarray(Q0), jnp.asarray(QD0), jnp.asarray(QDD0), jnp.asarray(Q_DES), obs
+    )
+
+
+def test_solver_finds_feasible(result):
+    assert bool(result.feasible)
+    assert np.all(np.isfinite(np.asarray(result.k)))
+    assert np.all(np.abs(np.asarray(result.k)) <= 1.0 + 1e-9)
+
+
+def test_solver_improves_cost(result):
+    from armour_tpu.jrs import TrajectoryCoeffs
+
+    traj = TrajectoryCoeffs(
+        q0=jnp.asarray(Q0), qd0=jnp.asarray(QD0), qdd0=jnp.asarray(QDD0),
+        Tqd0=jnp.asarray(QD0 * CFG.duration),
+        TTqdd0=jnp.asarray(QDD0 * CFG.duration**2),
+    )
+    c_opt = nlp.plan_cost(jnp.asarray(result.k), traj, jnp.asarray(Q_DES), ROBOT, CFG)
+    c_zero = nlp.plan_cost(jnp.zeros(7), traj, jnp.asarray(Q_DES), ROBOT, CFG)
+    assert float(c_opt) < float(c_zero)
+
+
+def test_chosen_trajectory_is_safe(result):
+    """Ground-truth oracle: along the chosen trajectory, the arm link boxes
+    stay clear of the obstacles and torques stay within limits (the
+    simulator_armtd.m:238-267 runtime checks, planner-level)."""
+    k = np.asarray(result.k)
+    k_act = k * np.asarray(CFG.k_range)
+    Tqd0 = QD0 * CFG.duration
+    TTqdd0 = QDD0 * CFG.duration**2
+    for s in np.linspace(0, 1, 101):
+        q = np.asarray(bezier.q_des(Q0, Tqd0, TTqdd0, k_act, s))
+        qd = np.asarray(bezier.qd_des(Q0, Tqd0, TTqdd0, k_act, s)) / CFG.duration
+        qdd = np.asarray(bezier.qdd_des(Q0, Tqd0, TTqdd0, k_act, s)) / CFG.duration**2
+        R_w, p_w, centers = rnea_numeric.forward_kinematics(ROBOT, jnp.asarray(q))
+        # conservative sphere check: link box circumradius vs obstacle box
+        for i in range(7):
+            r_link = float(np.linalg.norm(ROBOT.link_generators[i]))
+            for c, g in zip(OBS_C, OBS_G):
+                half = np.diag(g)
+                d = np.abs(np.asarray(centers[i]) - c) - half
+                dist = np.linalg.norm(np.maximum(d, 0.0))
+                assert dist > -1e-9 or dist > r_link, (s, i)
+        tau = np.asarray(
+            rnea_numeric.rnea(ROBOT, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qd), jnp.asarray(qdd))
+        )
+        assert np.all(np.abs(tau) <= ROBOT.torque_limits), (s, tau)
+        assert np.all(np.abs(qd) <= ROBOT.speed_limits + 1e-9)
+
+
+def test_infeasible_returns_nan():
+    """A wall of obstacles surrounding the arm must yield NaN (braking)."""
+    # boxes tightly surrounding the arm workspace near the home position
+    centers = []
+    gens = []
+    _, _, link_c = rnea_numeric.forward_kinematics(ROBOT, jnp.asarray(Q0))
+    for i in range(7):
+        centers.append(np.asarray(link_c[i]))
+        gens.append(np.diag([0.3, 0.3, 0.3]))
+    obs = pad_obstacles(np.asarray(centers)[:8], np.asarray(gens)[:8], CFG.max_obstacles, CFG.dtype)
+    step = make_planner(ROBOT, CFG)
+    res = step(jnp.asarray(Q0), jnp.asarray(QD0), jnp.asarray(QDD0), jnp.asarray(Q_DES), obs)
+    assert not bool(res.feasible)
+    assert np.all(np.isnan(np.asarray(res.k)))
