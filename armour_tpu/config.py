@@ -92,8 +92,9 @@ class ArmourConfig:
     cost_scale: float = 10.0
 
     # --- solver (replaces Ipopt; armour_main.cu:246-253) ---
-    solver_outer_iters: int = 12       # augmented-Lagrangian outer updates
-    solver_inner_iters: int = 10       # projected-Newton inner steps
+    solver_outer_iters: int = 8        # augmented-Lagrangian outer updates
+    solver_inner_iters: int = 6        # projected-Newton inner steps
+    screen_k: int = 4096               # collision rows kept in the hot loop
     solver_tol: float = 1e-4
     turn_off_input_constraints: bool = False
 

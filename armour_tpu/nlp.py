@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from . import bezier
-from .collision import BIG, Hyperplanes, ObstacleSet, collision_constraints
+from .collision import (BIG, Hyperplanes, ObstacleSet, ScreenedCollision,
+                        collision_constraints, screened_constraint_grads,
+                        screened_constraints)
 from .config import ArmourConfig
 from .dynamics import TorqueFRS
 from .jrs import TrajectoryCoeffs
@@ -164,6 +166,7 @@ class PlanProblem:
     frs: LinkFRS
     hyp: Hyperplanes
     obs: ObstacleSet
+    screened: ScreenedCollision
 
 
 def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
@@ -180,22 +183,21 @@ def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
     tl = jnp.asarray(robot.torque_limits, dt)
     cs, Js = [], []
 
+    F = k.shape[0]
     if not cfg.turn_off_input_constraints:
-        u = jnp.einsum("tfm,m->tf", prob.torque.u_coef, phi)             # [T, F]
+        T = prob.torque.u_coef.shape[0]
+        uc = prob.torque.u_coef.reshape(-1, phi.shape[0])                # [T*F, B]
+        u = (uc @ phi).reshape(T, -1)                                    # [T, F]
         hi = tl[None, :] - prob.torque.torque_radius
         cs += [(u - hi).reshape(-1), (-u - hi).reshape(-1)]
         if with_grad:
-            du = jnp.einsum("tfm,mg->tfg", prob.torque.u_coef, dphi)
-            du = du.reshape(-1, k.shape[0])
+            du = uc @ dphi                                               # [T*F, F]
             Js += [du, -du]
 
-    p = jnp.einsum("tjam,m->tja", prob.frs.center_coef, phi)
-    g_col, grad_p = collision_constraints(prob.hyp, prob.obs, p)
-    cs.append(g_col.reshape(-1))
+    g_col, grad_p = screened_constraints(prob.screened, phi)
+    cs.append(g_col)
     if with_grad:
-        dp = jnp.einsum("tjam,mf->tjaf", prob.frs.center_coef, dphi)
-        Jc = jnp.einsum("tjoa,tjaf->tjof", grad_p, dp).reshape(-1, k.shape[0])
-        Js.append(Jc)
+        Js.append(screened_constraint_grads(prob.screened, grad_p, dphi))
 
     q_min, q_max, gq_min, gq_max = joint_position_extrema(k, prob.traj, cfg)
     qd_min, qd_max, gd_min, gd_max = joint_velocity_extrema(k, prob.traj, cfg)
@@ -203,7 +205,6 @@ def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
     pos_ub = jnp.asarray(robot.position_limits_ub, dt) - ub.qe
     vel_ub = jnp.asarray(robot.speed_limits, dt) - ub.qde
 
-    F = k.shape[0]
     eye = jnp.eye(F, dtype=dt)
     for val, grad in ((q_min, gq_min), (q_max, gq_max)):
         cs += [pos_lb - val, val - pos_ub]
@@ -229,11 +230,13 @@ def max_violations(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
     ub = cfg.ub
     tl = jnp.asarray(robot.torque_limits, dt)
 
-    u = jnp.einsum("tfm,m->tf", prob.torque.u_coef, phi)
+    T = prob.torque.u_coef.shape[0]
+    u = (prob.torque.u_coef.reshape(-1, phi.shape[0]) @ phi).reshape(T, -1)
     hi = tl[None, :] - prob.torque.torque_radius
     v_torque = jnp.max(jnp.abs(u) - hi)
 
-    p = jnp.einsum("tjam,m->tja", prob.frs.center_coef, phi)
+    Tn, Jn = prob.frs.radius.shape[:2]
+    p = (prob.frs.center_coef.reshape(-1, phi.shape[0]) @ phi).reshape(Tn, Jn, 3)
     g_col, _ = collision_constraints(prob.hyp, prob.obs, p)
     v_col = jnp.max(g_col)
 
@@ -326,7 +329,7 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
             kk = jnp.clip(k - alpha * step, -1.0, 1.0)
             return kk, merit(kk)
 
-        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03], dt)
+        alphas = jnp.asarray([1.0, 0.3, 0.05], dt)
         kks, merits = jax.vmap(try_alpha)(alphas)
         best = jnp.argmin(merits)
         k_new = jnp.where(merits[best] < m0, kks[best], k)

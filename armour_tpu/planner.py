@@ -18,7 +18,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .collision import ObstacleSet, build_hyperplanes, pad_obstacles
+from .collision import (ObstacleSet, build_hyperplanes, pad_obstacles,
+                        screen_collision)
 from .config import ArmourConfig
 from .dynamics import torque_frs
 from .jrs import build_jrs
@@ -36,6 +37,7 @@ def plan_step(q0, qd0, qdd0, q_des, obs: ObstacleSet, robot: RobotModel,
     frs = reduce_links(links, basis)
     torque = torque_frs(jrs, robot, cfg, basis)
     hyp = build_hyperplanes(frs, obs)
+    screened = screen_collision(hyp, obs, frs, cfg.screen_k)
     prob = PlanProblem(
         traj=jrs.traj,
         q_des=jnp.asarray(q_des, cfg.dtype),
@@ -43,6 +45,7 @@ def plan_step(q0, qd0, qdd0, q_des, obs: ObstacleSet, robot: RobotModel,
         frs=frs,
         hyp=hyp,
         obs=obs,
+        screened=screened,
     )
     return solve(prob, robot, cfg, basis, k0=k0)
 

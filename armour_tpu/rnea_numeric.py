@@ -159,15 +159,15 @@ def mass_matrix(robot: RobotModel, q, *, mass=None, com=None, inertia=None,
                 include_armature: bool = True):
     """M(q) columnwise via RNEA with unit accelerations (rnea_mass.m)."""
     F = robot.num_factors
-    zeros = jnp.zeros_like(q)
-
-    def col(j):
-        qdd = jnp.zeros_like(q).at[..., j].set(1.0)
-        return rnea(robot, q, zeros, zeros, qdd, mass=mass, com=com,
-                    inertia=inertia, set_gravity=False,
-                    include_armature=include_armature)
-
-    return jnp.stack([col(j) for j in range(F)], axis=-1)
+    # one batched RNEA over the F unit-acceleration directions
+    eye = jnp.eye(F, dtype=q.dtype)
+    bq = jnp.broadcast_to(q[..., None, :], q.shape[:-1] + (F, F))
+    bz = jnp.zeros_like(bq)
+    bqdd = jnp.broadcast_to(eye, q.shape[:-1] + (F, F))
+    cols = rnea(robot, bq, bz, bz, bqdd, mass=mass, com=com,
+                inertia=inertia, set_gravity=False,
+                include_armature=include_armature)
+    return jnp.swapaxes(cols, -1, -2)
 
 
 def coriolis_gravity(robot: RobotModel, q, qd, *, mass=None, com=None, inertia=None):

@@ -1,0 +1,284 @@
+"""Closed-loop simulation: plant dynamics, tracking rollout, safety oracles,
+and the receding-horizon driver.
+
+TPU-native equivalent of uarmtd_agent.m (plant + ode15s integration),
+simulator_armtd.m (loop + safety checks) and kinova_world_static.m collision
+checking:
+
+  * plant: qdd = M(q)^-1 (u - C(q,qd)qd - g(q)) with TRUE (perturbed)
+    inertial parameters + transmission inertia (uarmtd_agent.m:360-399),
+  * integrator: fixed-step RK4 with zero-order-hold control at 1 kHz in one
+    lax.scan (replaces ode15s; SURVEY.md section 7 S7),
+  * oracles per move: exact OBB-vs-AABB link/obstacle separation (replaces
+    mesh patch intersection), torque limits, ultimate bound, joint limits
+    (simulator_armtd.m:238-267 semantics — all four must never fire),
+  * receding-horizon loop: plan -> move(t_plan) -> checks, with the braking
+    fallback on infeasible plans and a stop counter
+    (simulator_armtd.m:188-198).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .collision import ObstacleSet
+from .config import ArmourConfig
+from .controller import robust_control
+from .rnea_numeric import coriolis_gravity, forward_kinematics, mass_matrix
+from .robot import RobotModel
+from .trajectory import PlanRef, advance_plan, desired_state, initial_plan
+from .worlds import World, goal_check, straight_line_waypoint
+
+
+@dataclasses.dataclass
+class TrueParams:
+    """The plant's actual inertial parameters (within the modeled interval)."""
+
+    mass: jnp.ndarray     # [J]
+    inertia: jnp.ndarray  # [J, 3, 3]
+
+
+jax.tree_util.register_dataclass(TrueParams, data_fields=["mass", "inertia"], meta_fields=[])
+
+
+def sample_true_params(robot: RobotModel, rng: np.random.Generator,
+                       scale: Optional[float] = None) -> TrueParams:
+    """Random (or worst-case if scale given) true params within +-uncertainty
+    (load_robot_params.m uncertain_mass_range semantics)."""
+    if scale is None:
+        sm = rng.uniform(-1, 1, robot.num_joints)
+        si = rng.uniform(-1, 1, robot.num_joints)
+    else:
+        sm = np.full(robot.num_joints, scale)
+        si = np.full(robot.num_joints, scale)
+    mass = robot.mass * (1.0 + robot.mass_uncertainty * sm)
+    inertia = robot.inertia * (1.0 + robot.inertia_uncertainty * si)[:, None, None]
+    return TrueParams(mass=jnp.asarray(mass), inertia=jnp.asarray(inertia))
+
+
+def make_rollout(robot: RobotModel, cfg: ArmourConfig, control_dt: float = 1e-3,
+                 substeps: int = 2):
+    """Compile the tracking rollout: integrate the true plant under the robust
+    CBF controller for t_move seconds.  Returns states + logs for oracles."""
+
+    n_ctrl = int(round(cfg.t_plan / control_dt))
+
+    def step(carry, i):
+        q, qd, ref, tp = carry
+        t = i * control_dt
+        q_des, qd_des, qdd_des = desired_state(ref, t, cfg)
+        u, tau, v = robust_control(robot, cfg, q, qd, q_des, qd_des, qdd_des)
+
+        # M(q) varies slowly; evaluate once per 1 ms control step (the bias
+        # term is re-evaluated at every RK4 stage)
+        M = mass_matrix(robot, q, mass=tp.mass, inertia=tp.inertia)
+        M_inv = jnp.linalg.inv(M)
+
+        def ode(state):
+            qq, qqd = state
+            bias = coriolis_gravity(robot, qq, qqd, mass=tp.mass, inertia=tp.inertia)
+            qdd = M_inv @ (u - bias)
+            return qqd, qdd
+
+        h = control_dt / substeps
+        for _ in range(substeps):
+            k1 = ode((q, qd))
+            k2 = ode((q + 0.5 * h * k1[0], qd + 0.5 * h * k1[1]))
+            k3 = ode((q + 0.5 * h * k2[0], qd + 0.5 * h * k2[1]))
+            k4 = ode((q + h * k3[0], qd + h * k3[1]))
+            q = q + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            qd = qd + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+
+        log = {
+            "q": q, "qd": qd, "u": u,
+            "q_des": q_des, "qd_des": qd_des,
+        }
+        return (q, qd, ref, tp), log
+
+    @jax.jit
+    def rollout(q, qd, ref: PlanRef, tp: TrueParams):
+        (q, qd, _, _), logs = jax.lax.scan(
+            lambda c, i: step(c, i), (q, qd, ref, tp), jnp.arange(n_ctrl)
+        )
+        return q, qd, logs
+
+    return rollout
+
+
+# ---------------------------------------------------------------------------
+# safety oracles (simulator_armtd.m:238-267)
+# ---------------------------------------------------------------------------
+
+
+def obb_aabb_separated(center_a, axes_a, half_a, center_b, half_b):
+    """Exact OBB vs AABB separating-axis test, batched.  center_a [..., 3],
+    axes_a [..., 3, 3] (columns = box axes), half_a [..., 3]; B is axis-
+    aligned with center_b [..., 3], half_b [..., 3].  True = disjoint."""
+    d = center_b - center_a
+    # axes of A (3), axes of B (3 = world), cross products (9)
+    seps = []
+    for i in range(3):
+        L = axes_a[..., :, i]
+        ra = half_a[..., i]
+        rb = jnp.sum(half_b * jnp.abs(L), axis=-1)
+        seps.append(jnp.abs(jnp.sum(d * L, axis=-1)) > ra + rb)
+    for i in range(3):
+        L = jnp.zeros_like(d).at[..., i].set(1.0)
+        ra = jnp.sum(half_a * jnp.abs(axes_a[..., i, :]), axis=-1)
+        rb = half_b[..., i]
+        seps.append(jnp.abs(d[..., i]) > ra + rb)
+    for i in range(3):
+        for j in range(3):
+            L = jnp.cross(axes_a[..., :, i], jnp.zeros_like(d).at[..., j].set(1.0))
+            norm = jnp.linalg.norm(L, axis=-1, keepdims=True)
+            Ln = jnp.where(norm > 1e-9, L / jnp.where(norm > 1e-9, norm, 1.0), 0.0)
+            ra = jnp.sum(half_a * jnp.abs(jnp.einsum("...ab,...a->...b", axes_a, Ln)), axis=-1)
+            rb = jnp.sum(half_b * jnp.abs(Ln), axis=-1)
+            valid = norm[..., 0] > 1e-9
+            seps.append(valid & (jnp.abs(jnp.sum(d * Ln, axis=-1)) > ra + rb))
+    return jnp.any(jnp.stack(seps, axis=-1), axis=-1)
+
+
+def make_oracles(robot: RobotModel, cfg: ArmourConfig):
+    """Compile the per-move safety checks over logged trajectories."""
+
+    link_c = jnp.asarray(robot.link_center)
+    link_h = jnp.asarray(robot.link_generators)
+
+    @jax.jit
+    def check(logs, obs: ObstacleSet):
+        q = logs["q"]                       # [N, F]
+        qd = logs["qd"]
+        u = logs["u"]
+        R_w, p_w, centers = forward_kinematics(robot, q)   # [N, J, 3, 3] etc.
+        box_c = centers                                     # world box centers
+        obs_half = jax.vmap(jnp.diag)(jnp.abs(obs.generators))  # [O, 3] (diag boxes)
+        sep = obb_aabb_separated(
+            box_c[:, :, None, :],
+            R_w[:, :, None, :, :],
+            jnp.broadcast_to(link_h[None, :, None, :], box_c[:, :, None, :].shape),
+            obs.centers[None, None, :, :],
+            obs_half[None, None, :, :],
+        )                                                   # [N, J, O]
+        collision = jnp.any(~sep & obs.mask[None, None, :])
+
+        tl = jnp.asarray(robot.torque_limits, q.dtype)
+        torque_exceeded = jnp.any(jnp.abs(u) > tl[None, :])
+
+        ub = cfg.ub
+        pos_err = jnp.abs(q - logs["q_des"])
+        vel_err = jnp.abs(qd - logs["qd_des"])
+        bound_exceeded = jnp.any(pos_err > ub.qe) | jnp.any(vel_err > ub.qde)
+
+        pos_lb = jnp.asarray(robot.position_limits_lb, q.dtype)
+        pos_ub = jnp.asarray(robot.position_limits_ub, q.dtype)
+        sl = jnp.asarray(robot.speed_limits, q.dtype)
+        joint_exceeded = (
+            jnp.any(q < pos_lb[None, :]) | jnp.any(q > pos_ub[None, :])
+            | jnp.any(jnp.abs(qd) > sl[None, :])
+        )
+        return {
+            "collision": collision,
+            "torque_exceeded": torque_exceeded,
+            "ultimate_bound_exceeded": bound_exceeded,
+            "joint_limit_exceeded": joint_exceeded,
+        }
+
+    return check
+
+
+# ---------------------------------------------------------------------------
+# receding-horizon driver (simulator_armtd.m run loop)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrialSummary:
+    goal_reached: bool
+    collision: bool
+    torque_exceeded: bool
+    ultimate_bound_exceeded: bool
+    joint_limit_exceeded: bool
+    infeasible_plans: int
+    iterations: int
+    planning_times: list
+    stuck: bool
+
+
+def run_trial(
+    world: World,
+    robot: RobotModel,
+    cfg: ArmourConfig,
+    planner_step,
+    obs: ObstacleSet,
+    true_params: TrueParams,
+    max_iterations: int = 100,
+    stop_threshold: int = 4,
+    lookahead: float = 0.4,
+    verbose: bool = False,
+) -> TrialSummary:
+    """One closed-loop trial on one world (kinova_run_100_worlds.m per-world
+    loop).  planner_step = make_planner(robot, cfg) output."""
+    import time as _time
+
+    rollout = make_rollout(robot, cfg)
+    oracles = make_oracles(robot, cfg)
+
+    dt_ref = cfg.dtype
+    q = jnp.asarray(world.start, dt_ref)
+    qd = jnp.zeros_like(q)
+    ref = initial_plan(world.start, dt_ref)
+    flags = {
+        "collision": False, "torque_exceeded": False,
+        "ultimate_bound_exceeded": False, "joint_limit_exceeded": False,
+    }
+    infeasible = 0
+    stop_count = 0
+    plan_times = []
+    goal = False
+    it = 0
+
+    for it in range(max_iterations):
+        # plan from the REFERENCE state at the end of the last move
+        # (uarmtd_planner.m:81 reads agent reference, not measured state)
+        q0, qd0, qdd0 = desired_state(ref, cfg.t_plan, cfg)
+        waypoint = straight_line_waypoint(np.asarray(q0), world.goal, lookahead)
+        t0 = _time.perf_counter()
+        res = planner_step(q0, qd0, qdd0, jnp.asarray(waypoint, dt_ref), obs)
+        k = np.asarray(res.k)
+        plan_times.append(_time.perf_counter() - t0)
+
+        if np.all(np.isfinite(k)):
+            stop_count = 0
+        else:
+            infeasible += 1
+            stop_count += 1
+        ref = advance_plan(ref, jnp.asarray(k, dt_ref), q0, qd0, qdd0, cfg)
+
+        q, qd, logs = rollout(q, qd, ref, true_params)
+        checks = jax.tree.map(bool, oracles(logs, obs))
+        for name in flags:
+            flags[name] = flags[name] or checks[name]
+        if verbose:
+            print(f"iter {it}: feasible={np.all(np.isfinite(k))} q={np.asarray(q).round(2)} checks={checks}")
+        if any(flags.values()):
+            break
+        if goal_check(np.asarray(q), world.goal):
+            goal = True
+            break
+        if stop_count >= stop_threshold:
+            break
+
+    return TrialSummary(
+        goal_reached=goal,
+        infeasible_plans=infeasible,
+        iterations=it + 1,
+        planning_times=plan_times,
+        stuck=(stop_count >= stop_threshold),
+        **flags,
+    )

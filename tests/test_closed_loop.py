@@ -1,0 +1,84 @@
+"""Closed-loop tracking + safety oracle tests (S7): the robust CBF controller
+must keep the plant inside the ultimate bound under worst-case model error,
+and the receding-horizon trial must reach an easy goal with zero safety
+violations (simulator_armtd.m acceptance semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from armour_tpu.config import ArmourConfig
+from armour_tpu.models.kinova import kinova_gen3
+from armour_tpu.collision import pad_obstacles
+from armour_tpu.planner import make_planner
+from armour_tpu.simulator import (
+    TrueParams, make_oracles, make_rollout, run_trial, sample_true_params,
+)
+from armour_tpu.trajectory import advance_plan, desired_state, initial_plan
+from armour_tpu.worlds import World
+
+ROBOT = kinova_gen3()
+CFG = ArmourConfig(num_time_steps=32, dtype=jnp.float64, max_obstacles=8)
+
+Q0 = np.array([0.0, -0.3, 0.0, -1.2, 0.0, -0.8, 0.0])
+
+
+def worst_case_params():
+    rng = np.random.default_rng(0)
+    return sample_true_params(ROBOT, rng, scale=1.0)  # +3% everywhere
+
+
+def test_tracking_within_ultimate_bound():
+    """Track one feasible plan with +3% model error: |q - q_des| <= qe and
+    |qd - qd_des| <= qde throughout (uarmtd_robust_CBF_LLC.m:192-228)."""
+    rollout = make_rollout(ROBOT, CFG, control_dt=2e-3)
+    tp = worst_case_params()
+    ref = initial_plan(Q0, CFG.dtype)
+    k = jnp.full(7, 0.5, CFG.dtype)
+    ref = advance_plan(ref, k, jnp.asarray(Q0), jnp.zeros(7), jnp.zeros(7), CFG)
+    q, qd, logs = rollout(jnp.asarray(Q0), jnp.zeros(7), ref, tp)
+    pos_err = np.max(np.abs(np.asarray(logs["q"]) - np.asarray(logs["q_des"])))
+    vel_err = np.max(np.abs(np.asarray(logs["qd"]) - np.asarray(logs["qd_des"])))
+    assert pos_err <= CFG.ub.qe, pos_err
+    assert vel_err <= CFG.ub.qde, vel_err
+
+
+def test_braking_comes_to_rest():
+    """After a feasible plan, an infeasible one must replay the braking tail
+    and end at rest (uarmtd_planner.m:910-921)."""
+    rollout = make_rollout(ROBOT, CFG, control_dt=2e-3)
+    tp = worst_case_params()
+    ref = initial_plan(Q0, CFG.dtype)
+    k = jnp.full(7, 0.8, CFG.dtype)
+    ref = advance_plan(ref, k, jnp.asarray(Q0), jnp.zeros(7), jnp.zeros(7), CFG)
+    q, qd, logs = rollout(jnp.asarray(Q0), jnp.zeros(7), ref, tp)
+    # now plan fails -> NaN; anchor at the reference state at t_plan
+    q1, qd1, qdd1 = desired_state(ref, CFG.t_plan, CFG)
+    ref = advance_plan(ref, jnp.full(7, jnp.nan), q1, qd1, qdd1, CFG)
+    q, qd, logs = rollout(q, qd, ref, tp)
+    assert float(jnp.linalg.norm(qd)) < 0.05, np.asarray(qd)
+    # reference at end of braking equals previous plan's endpoint
+    q_end, qd_end, _ = desired_state(ref, CFG.t_plan, CFG)
+    np.testing.assert_allclose(np.asarray(qd_end), 0.0, atol=1e-9)
+
+
+def test_trial_reaches_easy_goal():
+    world = World(
+        start=Q0,
+        goal=Q0 + 0.12,
+        obstacle_centers=np.array([[0.7, 0.7, 0.4]]),
+        obstacle_generators=np.diag([0.05, 0.05, 0.05])[None],
+    )
+    obs = pad_obstacles(
+        world.obstacle_centers, world.obstacle_generators, CFG.max_obstacles, CFG.dtype
+    )
+    step = make_planner(ROBOT, CFG)
+    summary = run_trial(
+        world, ROBOT, CFG, step, obs, worst_case_params(), max_iterations=8
+    )
+    assert not summary.collision
+    assert not summary.torque_exceeded
+    assert not summary.ultimate_bound_exceeded
+    assert not summary.joint_limit_exceeded
+    assert summary.goal_reached, summary
