@@ -8,6 +8,12 @@ reads off the joint torque along the motion axis, plus armature and damping
 terms.  Called twice — nominal and interval inertial parameters — to obtain
 the disturbance PZ, from which the robust-input bound and total control input
 radius are assembled exactly as in armour_main.cu:171-210.
+
+Compilation structure: both recursions are lax.scan over the joint axis with
+the four per-joint rotations fused into ONE stacked matrix-matrix PZ product
+(w | w_aux | wdot | linear_acc as columns), so the traced program contains a
+single chain body instead of 7 unrolled copies — an order of magnitude less
+HLO for the same math.
 """
 
 from __future__ import annotations
@@ -20,13 +26,41 @@ import jax.numpy as jnp
 from .config import ArmourConfig
 from .jrs import JRS
 from .pz import bpz
-from .pz.basis import KBasis
+from .pz.basis import KBasis, error_layout
 from .pz.bpz import BPZ
 from .robot import RobotModel
 
 
-def _joint_pz(arr: BPZ, i: int) -> BPZ:
-    return BPZ(coef=arr.coef[:, i], egen=arr.egen[:, i], rad=arr.rad[:, i])
+def _stack_joint_axis(p: BPZ) -> BPZ:
+    """[T, J, ...] -> [J, T, ...] for scanning over joints."""
+    return BPZ(
+        coef=jnp.moveaxis(p.coef, 1, 0),
+        egen=jnp.moveaxis(p.egen, 1, 0),
+        rad=jnp.moveaxis(p.rad, 1, 0),
+    )
+
+
+def _embed(a: BPZ, e: jnp.ndarray) -> BPZ:
+    """Scalar PZ [T] times one-hot axis vector e [3] -> vector PZ [T, 3]
+    (addOneDimPZ with a data-driven axis, PZsparse.cu:489-506)."""
+    return BPZ(
+        coef=e[:, None] * a.coef[..., None, :],
+        egen=e[:, None] * a.egen[..., None, :],
+        rad=jnp.abs(e) * a.rad[..., None],
+    )
+
+
+def _col_stack(ps) -> BPZ:
+    """Stack vector PZs [T, 3] as columns of a matrix PZ [T, 3, n]."""
+    return BPZ(
+        coef=jnp.stack([p.coef for p in ps], axis=-2),
+        egen=jnp.stack([p.egen for p in ps], axis=-2),
+        rad=jnp.stack([p.rad for p in ps], axis=-1),
+    )
+
+
+def _col(p: BPZ, j: int) -> BPZ:
+    return BPZ(coef=p.coef[..., j, :], egen=p.egen[..., j, :], rad=p.rad[..., j])
 
 
 def _inertial_pzs(robot: RobotModel, basis: KBasis, dtype, uncertain: bool):
@@ -50,114 +84,123 @@ def rnea_pz(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
     dt = cfg.dtype
     T = cfg.num_time_steps
     J = robot.num_joints
+    F = robot.num_factors
     slop = cfg.float_slop
-    trans = jnp.asarray(robot.trans, dt)
-    com = jnp.asarray(robot.com, dt)
+    trans = jnp.asarray(robot.trans, dt)         # [J+1, 3]
+    com = jnp.asarray(robot.com, dt)             # [J, 3]
     mass_pz, inertia_pz = _inertial_pzs(robot, basis, dt, uncertain)
 
-    w = bpz.zeros((T, 3), basis, dt)
-    w_aux = bpz.zeros((T, 3), basis, dt)
-    wdot = bpz.zeros((T, 3), basis, dt)
-    lin_acc = bpz.zeros((T, 3), basis, dt)
-    if set_gravity:
-        lin_acc = BPZ(
-            coef=lin_acc.coef.at[:, 2, 0].set(robot.gravity),
-            egen=lin_acc.egen,
-            rad=lin_acc.rad,
+    # one-hot motion axes + revolute mask (axes[i] != 0 and i < F)
+    e_axis = jnp.zeros((J, 3), dt)
+    rev = jnp.zeros((J,), dt)
+    for i in range(J):
+        if robot.axes[i] != 0 and i < F:
+            e_axis = e_axis.at[i, abs(int(robot.axes[i])) - 1].set(1.0)
+            rev = rev.at[i].set(1.0)
+
+    Rt_j = _stack_joint_axis(jrs.Rt)             # [J, T, 3, 3]
+    R_j = _stack_joint_axis(jrs.R)               # [J+1, T, 3, 3]
+    qd_j = _stack_joint_axis(jrs.qd)             # [J?, T] (F == J assumed for
+    qda_j = _stack_joint_axis(jrs.qda)           #  actuated prefix)
+    qdda_j = _stack_joint_axis(jrs.qdda)
+
+    def pad_factors(p: BPZ) -> BPZ:
+        if F == J:
+            return p
+        padw = [(0, J - F)] + [(0, 0)] * (p.coef.ndim - 1)
+        return BPZ(
+            coef=jnp.pad(p.coef, padw), egen=jnp.pad(p.egen, padw),
+            rad=jnp.pad(p.rad, padw[:-1]),
         )
 
-    F_list, N_list = [], []
-    for i in range(J):
-        rt_i = BPZ(coef=jrs.Rt.coef[:, i], egen=jrs.Rt.egen[:, i], rad=jrs.Rt.rad[:, i])
-        axis = int(robot.axes[i])
+    qd_j, qda_j, qdda_j = pad_factors(qd_j), pad_factors(qda_j), pad_factors(qdda_j)
 
-        # line 16: linear acceleration transported to frame i
+    w0 = bpz.zeros((T, 3), basis, dt)
+    lin0 = bpz.zeros((T, 3), basis, dt)
+    if set_gravity:
+        lin0 = BPZ(
+            coef=lin0.coef.at[:, 2, 0].set(robot.gravity), egen=lin0.egen, rad=lin0.rad
+        )
+
+    def fwd_body(carry, inp):
+        w, w_aux, wdot, lin_acc = carry
+        rt, qd_i, qda_i, qdda_i, m_i, I_i, trans_i, com_i, e_i, rev_i = inp
+
         acc_arg = bpz.add(
             lin_acc,
             bpz.add(
-                bpz.cross_pz_const(wdot, trans[i]),
-                bpz.cross(w, bpz.cross_pz_const(w_aux, trans[i]), basis, slop),
+                bpz.cross_pz_const(wdot, trans_i),
+                bpz.cross(w, bpz.cross_pz_const(w_aux, trans_i), basis, slop),
             ),
         )
-        lin_acc = bpz.matvec(rt_i, acc_arg, basis, slop)
+        # fused rotation of (w | w_aux | wdot | acc) (Dynamics.cu lines 13-16)
+        stacked = _col_stack([w, w_aux, wdot, acc_arg])        # [T, 3, 4]
+        rotated = bpz.matmul(rt, stacked, basis, slop)
+        w, w_aux, wdot, lin_acc = (_col(rotated, j) for j in range(4))
 
-        # lines 13-15: rotate w / w_aux / wdot into frame i
-        w = bpz.matvec(rt_i, w, basis, slop)
-        w_aux = bpz.matvec(rt_i, w_aux, basis, slop)
-        wdot = bpz.matvec(rt_i, wdot, basis, slop)
+        qd_vec = _embed(bpz.scale(qd_i, rev_i), e_i)
+        w = bpz.add(w, qd_vec)
+        wdot = bpz.add(wdot, bpz.cross(w_aux, qd_vec, basis, slop))
+        wdot = bpz.add(wdot, _embed(bpz.scale(qdda_i, rev_i), e_i))
+        w_aux = bpz.add(w_aux, _embed(bpz.scale(qda_i, rev_i), e_i))
 
-        if axis != 0 and i < robot.num_factors:
-            ax = abs(axis) - 1
-            qd_i = bpz.axis_embed(_joint_pz(jrs.qd, i), ax)
-            w = bpz.add(w, qd_i)
-            wdot = bpz.add(wdot, bpz.cross(w_aux, qd_i, basis, slop))
-            wdot = bpz.add(wdot, bpz.axis_embed(_joint_pz(jrs.qdda, i), ax))
-            w_aux = bpz.add(w_aux, bpz.axis_embed(_joint_pz(jrs.qda, i), ax))
-
-        # lines 23 & 27: link force at COM
+        # link force / moment (Dynamics.cu lines 23-29)
         f_arg = bpz.add(
             lin_acc,
             bpz.add(
-                bpz.cross_pz_const(wdot, com[i]),
-                bpz.cross(w, bpz.cross_pz_const(w_aux, com[i]), basis, slop),
+                bpz.cross_pz_const(wdot, com_i),
+                bpz.cross(w, bpz.cross_pz_const(w_aux, com_i), basis, slop),
             ),
         )
-        m_i = BPZ(
-            coef=mass_pz.coef[i][None, None, :],
-            egen=mass_pz.egen[i][None, None, :],
-            rad=mass_pz.rad[i][None, None],
-        )
-        F_list.append(bpz.mul(m_i, f_arg, basis, slop))
+        m_b = BPZ(coef=m_i.coef[None, None, :], egen=m_i.egen[None, None, :],
+                  rad=m_i.rad[None, None])
+        F_i = bpz.mul(m_b, f_arg, basis, slop)
+        I_b = BPZ(coef=I_i.coef[None], egen=I_i.egen[None], rad=I_i.rad[None])
+        Iw = bpz.matmul(I_b, _col_stack([wdot, w]), basis, slop)
+        N_i = bpz.add(_col(Iw, 0), bpz.cross(w_aux, _col(Iw, 1), basis, slop))
+        return (w, w_aux, wdot, lin_acc), (F_i, N_i)
 
-        # line 29: link moment
-        I_i = BPZ(
-            coef=inertia_pz.coef[i][None],
-            egen=inertia_pz.egen[i][None],
-            rad=inertia_pz.rad[i][None],
-        )
-        N_list.append(
-            bpz.add(
-                bpz.matvec(I_i, wdot, basis, slop),
-                bpz.cross(w_aux, bpz.matvec(I_i, w, basis, slop), basis, slop),
-            )
-        )
-
-    # backward recursion (Dynamics.cu:160-181)
-    f = bpz.zeros((T, 3), basis, dt)
-    n = bpz.zeros((T, 3), basis, dt)
-    torques = [None] * robot.num_factors
-    for i in reversed(range(J)):
-        r_ip1 = BPZ(
-            coef=jrs.R.coef[:, i + 1], egen=jrs.R.egen[:, i + 1], rad=jrs.R.rad[:, i + 1]
-        )
-        rf = bpz.matvec(r_ip1, f, basis, slop)
-        n = bpz.add(
-            bpz.add(_vec(N_list[i]), bpz.matvec(r_ip1, n, basis, slop)),
-            bpz.add(
-                bpz.cross_const(com[i], _vec(F_list[i])),
-                bpz.cross_const(trans[i + 1], rf),
-            ),
-        )
-        f = bpz.add(rf, _vec(F_list[i]))
-
-        axis = int(robot.axes[i])
-        if axis != 0 and i < robot.num_factors:
-            ax = abs(axis) - 1
-            u_i = BPZ(coef=n.coef[:, ax], egen=n.egen[:, ax], rad=n.rad[:, ax])
-            u_i = bpz.add(u_i, bpz.scale(_joint_pz(jrs.qdda, i), robot.armature[i]))
-            if robot.damping[i] != 0.0:
-                u_i = bpz.add(u_i, bpz.scale(_joint_pz(jrs.qd, i), robot.damping[i]))
-            torques[i] = u_i
-
-    return BPZ(
-        coef=jnp.stack([t.coef for t in torques], axis=1),
-        egen=jnp.stack([t.egen for t in torques], axis=1),
-        rad=jnp.stack([t.rad for t in torques], axis=1),
+    fwd_inputs = (
+        Rt_j, qd_j, qda_j, qdda_j, mass_pz, inertia_pz,
+        trans[:J], com, e_axis, rev,
     )
+    _, (F_all, N_all) = jax.lax.scan(fwd_body, (w0, w0, w0, lin0), fwd_inputs)
 
+    # backward recursion (Dynamics.cu:160-181), scanned in reverse
+    def bwd_body(carry, inp):
+        f, n = carry
+        r_ip1, F_i, N_i, qd_i, qdda_i, trans_ip1, com_i, e_i, rev_i, arm_i, damp_i = inp
+        rot = bpz.matmul(r_ip1, _col_stack([f, n]), basis, slop)
+        rf, rn = _col(rot, 0), _col(rot, 1)
+        n_new = bpz.add(
+            bpz.add(N_i, rn),
+            bpz.add(bpz.cross_const(com_i, F_i), bpz.cross_const(trans_ip1, rf)),
+        )
+        f_new = bpz.add(rf, F_i)
+        u_axis = BPZ(
+            coef=jnp.einsum("a,tam->tm", e_i, n_new.coef),
+            egen=jnp.einsum("a,tam->tm", e_i, n_new.egen),
+            rad=jnp.einsum("a,ta->t", jnp.abs(e_i), n_new.rad),
+        )
+        u_i = bpz.add(u_axis, bpz.scale(qdda_i, arm_i * rev_i))
+        u_i = bpz.add(u_i, bpz.scale(qd_i, damp_i * rev_i))
+        return (f_new, n_new), u_i
 
-def _vec(x: BPZ) -> BPZ:
-    return x
+    R_ip1 = BPZ(coef=R_j.coef[1:], egen=R_j.egen[1:], rad=R_j.rad[1:])
+    bwd_inputs = (
+        R_ip1, F_all, N_all, qd_j, qdda_j, trans[1:],
+        com, e_axis, rev, jnp.asarray(robot.armature, dt), jnp.asarray(robot.damping, dt),
+    )
+    (_, _), u_all = jax.lax.scan(
+        bwd_body, (bpz.zeros((T, 3), basis, dt), bpz.zeros((T, 3), basis, dt)),
+        bwd_inputs, reverse=True,
+    )
+    # u_all is [J, T]; keep the actuated prefix as [T, F]
+    return BPZ(
+        coef=jnp.moveaxis(u_all.coef[:F], 0, 1),
+        egen=jnp.moveaxis(u_all.egen[:F], 0, 1),
+        rad=jnp.moveaxis(u_all.rad[:F], 0, 1),
+    )
 
 
 @dataclasses.dataclass
@@ -186,10 +229,7 @@ def torque_frs(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis) ->
     d_max = jnp.maximum(jnp.abs(d_lo), jnp.abs(d_hi))
 
     ub = cfg.ub
-    # rho_max = || sqrt(sum_i max(|interval_i|)^2) || upper bound:
-    # interval square upper = max(lo^2, hi^2) summed then sqrt
-    # (armour_main.cu:175-190 uses interval arithmetic; the upper bound is
-    # exactly sqrt(sum max(lo^2, hi^2)))
+    # rho_max upper bound = sqrt(sum_i max(lo^2, hi^2))  (armour_main.cu:175-190)
     rho_sq = jnp.sum(jnp.maximum(d_lo * d_lo, d_hi * d_hi), axis=1)  # [T]
     rho_max = jnp.sqrt(rho_sq)
 

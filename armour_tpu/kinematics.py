@@ -67,33 +67,46 @@ def link_box_pz(robot: RobotModel, basis: KBasis, dtype) -> BPZ:
 
 def forward_occupancy(jrs: JRS, robot: RobotModel, cfg: ArmourConfig,
                       basis: KBasis) -> BPZ:
-    """Forward kinematics: link PZs [T, J, 3] (Dynamics.cu:69-81)."""
+    """Forward kinematics: link PZs [T, J, 3] (Dynamics.cu:69-81).
+
+    Scanned over the joint chain (one traced body instead of J unrolled
+    copies) with the accumulated rotation/translation as carry.
+    """
     dt = cfg.dtype
     T = cfg.num_time_steps
-    boxes = link_box_pz(robot, basis, dt)
+    J = robot.num_joints
+    E = error_layout(basis.nf)["size"]
+    boxes = link_box_pz(robot, basis, dt)                 # [J, 3]
     trans = jnp.asarray(robot.trans, dt)
 
-    fk_r = BPZ(
+    fk_r0 = BPZ(
         coef=jnp.zeros((T, 3, 3, basis.size), dt).at[..., 0].set(
             jnp.broadcast_to(jnp.eye(3, dtype=dt), (T, 3, 3))
         ),
-        egen=jnp.zeros((T, 3, 3, error_layout(basis.nf)["size"]), dt),
+        egen=jnp.zeros((T, 3, 3, E), dt),
         rad=jnp.zeros((T, 3, 3), dt),
     )
-    fk_t = bpz.zeros((T, 3), basis, dt)
+    fk_t0 = bpz.zeros((T, 3), basis, dt)
 
-    links = []
-    for i in range(robot.num_joints):
-        fk_t = bpz.add(fk_t, bpz.matvec_cvec(fk_r, trans[i]))
-        r_i = BPZ(coef=jrs.R.coef[:, i], egen=jrs.R.egen[:, i], rad=jrs.R.rad[:, i])
+    R_j = BPZ(
+        coef=jnp.moveaxis(jrs.R.coef[:, :J], 1, 0),
+        egen=jnp.moveaxis(jrs.R.egen[:, :J], 1, 0),
+        rad=jnp.moveaxis(jrs.R.rad[:, :J], 1, 0),
+    )
+
+    def body(carry, inp):
+        fk_r, fk_t = carry
+        r_i, box_i, trans_i = inp
+        fk_t = bpz.add(fk_t, bpz.matvec_cvec(fk_r, trans_i))
         fk_r = bpz.matmul(fk_r, r_i, basis, cfg.float_slop)
-        box_i = BPZ(coef=boxes.coef[i], egen=boxes.egen[i], rad=boxes.rad[i])
-        links.append(bpz.add(bpz.matvec(fk_r, box_i, basis, cfg.float_slop), fk_t))
+        link = bpz.add(bpz.matvec(fk_r, box_i, basis, cfg.float_slop), fk_t)
+        return (fk_r, fk_t), link
 
+    _, links = jax.lax.scan(body, (fk_r0, fk_t0), (R_j, boxes, trans[:J]))
     return BPZ(
-        coef=jnp.stack([l.coef for l in links], axis=1),
-        egen=jnp.stack([l.egen for l in links], axis=1),
-        rad=jnp.stack([l.rad for l in links], axis=1),
+        coef=jnp.moveaxis(links.coef, 0, 1),
+        egen=jnp.moveaxis(links.egen, 0, 1),
+        rad=jnp.moveaxis(links.rad, 0, 1),
     )
 
 

@@ -94,7 +94,7 @@ def sub(a: BPZ, b: BPZ) -> BPZ:
 
 def scale(a: BPZ, s) -> BPZ:
     """Multiply by an exact scalar/array (PZsparse.cu:417-433)."""
-    s = jnp.asarray(s)
+    s = jnp.asarray(s, a.coef.dtype)
     return BPZ(
         coef=a.coef * s[..., None],
         egen=a.egen * s[..., None],
@@ -172,18 +172,70 @@ def mul(a: BPZ, b: BPZ, basis: KBasis, slop: float = 0.0) -> BPZ:
     return bilinear(a, b, lambda x, y: x * y, lambda x, y: x * y, basis, slop)
 
 
+def _matmul_pair(x, y):
+    """Unrolled 3x3 (or small) matrix product keeping the huge trailing axis
+    innermost: batched-tiny-matmul dot_generals make XLA tile on the size-3
+    dims (57x padding blowups measured on v5e); 27 fused elementwise
+    multiply-adds on [..., t] slices stay in natural layout."""
+    n, m = x.shape[-3], x.shape[-2]
+    p = y.shape[-2]
+    rows = []
+    for i in range(n):
+        cols = []
+        for k in range(p):
+            acc = x[..., i, 0, :] * y[..., 0, k, :]
+            for j in range(1, m):
+                acc = acc + x[..., i, j, :] * y[..., j, k, :]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
+
+
+def _matmul_abs(x, y):
+    n, m = x.shape[-2], x.shape[-1]
+    p = y.shape[-1]
+    rows = []
+    for i in range(n):
+        cols = []
+        for k in range(p):
+            acc = x[..., i, 0] * y[..., 0, k]
+            for j in range(1, m):
+                acc = acc + x[..., i, j] * y[..., j, k]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 def matmul(a: BPZ, b: BPZ, basis: KBasis, slop: float = 0.0) -> BPZ:
     """Matrix product: a [..., n, m, :], b [..., m, p, :] -> [..., n, p, :]."""
-    prod = lambda x, y: jnp.einsum("...ijt,...jkt->...ikt", x, y)
-    absprod = lambda x, y: jnp.einsum("...ij,...jk->...ik", x, y)
-    return bilinear(a, b, prod, absprod, basis, slop)
+    return bilinear(a, b, _matmul_pair, _matmul_abs, basis, slop)
+
+
+def _matvec_pair(x, y):
+    n, m = x.shape[-3], x.shape[-2]
+    rows = []
+    for i in range(n):
+        acc = x[..., i, 0, :] * y[..., 0, :]
+        for j in range(1, m):
+            acc = acc + x[..., i, j, :] * y[..., j, :]
+        rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
+def _matvec_abs(x, y):
+    n, m = x.shape[-2], x.shape[-1]
+    rows = []
+    for i in range(n):
+        acc = x[..., i, 0] * y[..., 0]
+        for j in range(1, m):
+            acc = acc + x[..., i, j] * y[..., j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=-1)
 
 
 def matvec(a: BPZ, v: BPZ, basis: KBasis, slop: float = 0.0) -> BPZ:
     """a [..., n, m, :] @ v [..., m, :] -> [..., n, :]."""
-    prod = lambda x, y: jnp.einsum("...ijt,...jt->...it", x, y)
-    absprod = lambda x, y: jnp.einsum("...ij,...j->...i", x, y)
-    return bilinear(a, v, prod, absprod, basis, slop)
+    return bilinear(a, v, _matvec_pair, _matvec_abs, basis, slop)
 
 
 def _cross_pair(x, y):
