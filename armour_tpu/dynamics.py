@@ -95,7 +95,8 @@ def rnea_pz(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
     rev = jnp.zeros((J,), dt)
     for i in range(J):
         if robot.axes[i] != 0 and i < F:
-            e_axis = e_axis.at[i, abs(int(robot.axes[i])) - 1].set(1.0)
+            sgn = 1.0 if robot.axes[i] > 0 else -1.0
+            e_axis = e_axis.at[i, abs(int(robot.axes[i])) - 1].set(sgn)
             rev = rev.at[i].set(1.0)
 
     Rt_j = _stack_joint_axis(jrs.Rt)             # [J, T, 3, 3]

@@ -242,12 +242,14 @@ def build_jrs(q0, qd0, qdd0, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
             ctr = rotm[i] @ full
             coef_i = coef_i.at[..., 0].set(jnp.broadcast_to(ctr, (T, 3, 3)))
         else:
-            rot_c = _rot_pattern(axis, cos_c[:, i], sin_c[:, i], dt)
+            sign = 1.0 if axis > 0 else -1.0  # reversed joints rotate by -q
+            axis = abs(axis)
+            rot_c = _rot_pattern(axis, cos_c[:, i], sign * sin_c[:, i], dt)
             # identity completion on the axis row/col
             eye_axis = jnp.eye(3, dtype=dt).at[:, :].multiply(0.0).at[axis - 1, axis - 1].set(1.0)
             ctr = jnp.einsum("ab,tbc->tac", rotm[i], rot_c + eye_axis)
             coef_i = coef_i.at[..., 0].set(ctr)
-            kmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_k[:, i], sin_k[:, i], dt))
+            kmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_k[:, i], sign * sin_k[:, i], dt))
             coef_i = coef_i.at[..., int(lin[i])].set(kmat)
             cmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_e[:, i], zerosT, dt))
             smat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, zerosT, sin_e[:, i], dt))

@@ -46,7 +46,8 @@ def joint_rotations(robot: RobotModel, q):
         if axis == 0 or i >= robot.num_factors:
             R = jnp.broadcast_to(rotm[i], q.shape[:-1] + (3, 3))
         else:
-            R = jnp.einsum("ab,...bc->...ac", rotm[i], _axis_rot(abs(axis), q[..., i]))
+            sgn = 1.0 if axis > 0 else -1.0
+            R = jnp.einsum("ab,...bc->...ac", rotm[i], _axis_rot(abs(axis), sgn * q[..., i]))
         Rs.append(R)
     return jnp.stack(Rs, axis=-3)
 
@@ -111,7 +112,7 @@ def rnea(robot: RobotModel, q, qd, qd_aux, qdd, *,
         axis = int(robot.axes[i])
         if axis != 0 and i < robot.num_factors:
             ax = abs(axis) - 1
-            e = jnp.zeros((3,), dt).at[ax].set(1.0)
+            e = jnp.zeros((3,), dt).at[ax].set(1.0 if axis > 0 else -1.0)
             w = w + e * qd[..., i, None]
             wdot = wdot + jnp.cross(w_aux, e * qd[..., i, None]) + e * qdd[..., i, None]
             w_aux = w_aux + e * qd_aux[..., i, None]

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from armour_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from armour_tpu.collision import pad_obstacles
     from armour_tpu.config import ArmourConfig
     from armour_tpu.models.kinova import kinova_gen3
@@ -27,7 +30,7 @@ def main():
 
     robot = kinova_gen3()
     cfg = ArmourConfig(dtype=jnp.float32)
-    batch = 32
+    batch = 64
     n_obs = 13
 
     rng = np.random.default_rng(0)
@@ -50,20 +53,12 @@ def main():
         *[pad_obstacles(c, g, cfg.max_obstacles, cfg.dtype) for c, g in obs_list],
     )
 
+    from armour_tpu.utils.timing import bench as _bench
+
     step = make_batch_planner(robot, cfg)
     args = (jnp.asarray(q0), jnp.asarray(qd0), jnp.asarray(qdd0), jnp.asarray(q_des), obs)
 
-    # compile
-    out = step(*args)
-    jax.block_until_ready(out)
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-
+    dt, out = _bench(lambda: step(*args), iters=5)
     solves_per_s = batch / dt
     n_feasible = int(np.sum(np.asarray(out.feasible)))
     result = {
