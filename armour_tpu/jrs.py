@@ -35,13 +35,21 @@ QDD_K_DEP_MINIMA = 0.5 + SQRT3_6  # Trajectory.h:8
 
 @dataclasses.dataclass
 class TrajectoryCoeffs:
-    """Initial-state-dependent scalars shared by JRS, cost and extrema."""
+    """Initial-state-dependent scalars shared by JRS, cost and extrema.
+
+    family: 'bernstein' (degree-5 Bezier, the ARMOUR trajectory) or 'armtd'
+    (constant acceleration + braking, the original ARMTD baseline).
+    k_scale: actual parameter range per joint; static cfg.k_range for
+    bernstein, the velocity-adaptive g_k for armtd (create_jrs_online.m:77).
+    """
 
     q0: jnp.ndarray      # [F]
     qd0: jnp.ndarray     # [F]
     qdd0: jnp.ndarray    # [F]
     Tqd0: jnp.ndarray    # [F] qd0 * duration
     TTqdd0: jnp.ndarray  # [F] qdd0 * duration^2
+    k_scale: jnp.ndarray  # [F]
+    family: str = dataclasses.field(default="bernstein", metadata=dict(static=True))
 
 
 @dataclasses.dataclass
@@ -57,7 +65,9 @@ class JRS:
 
 
 jax.tree_util.register_dataclass(
-    TrajectoryCoeffs, data_fields=["q0", "qd0", "qdd0", "Tqd0", "TTqdd0"], meta_fields=[]
+    TrajectoryCoeffs,
+    data_fields=["q0", "qd0", "qdd0", "Tqd0", "TTqdd0", "k_scale"],
+    meta_fields=["family"],
 )
 jax.tree_util.register_dataclass(
     JRS, data_fields=["R", "Rt", "qd", "qda", "qdda", "traj"], meta_fields=[]
@@ -100,6 +110,113 @@ def _one_hot(idx: int, n: int, dtype):
     return jnp.zeros((n,), dtype=dtype).at[idx].set(1.0)
 
 
+
+def trig_taylor_pz(qc, Rq, kd_scaled):
+    """First-order Taylor of cos/sin about qc with interval Lagrange remainder
+    (Trajectory.cu:104-134).  qc: center angle; Rq: k-independent radius
+    (incl. tracking error); kd_scaled: k coefficient (already scaled to the
+    actual parameter range).  Returns (cos_c, cos_k, cos_e, sin_c, sin_k,
+    sin_e): centers, k-linear coefficients and error-generator radii."""
+    W = Rq + jnp.abs(kd_scaled)
+    q_rad = iv.sym(Rq)
+    J_int = (qc - W, qc + W)
+    pow_term = (jnp.zeros_like(W), W * W)
+
+    cosJ = iv.cos(J_int)
+    rem_cos = iv.add(
+        iv.scale(q_rad, -jnp.sin(qc)),
+        iv.scale(iv.mul(cosJ, pow_term), -0.5),
+    )
+    cos_c = jnp.cos(qc) + iv.center(rem_cos)
+    cos_k = -kd_scaled * jnp.sin(qc)
+    cos_e = iv.radius(rem_cos)
+
+    sinJ = iv.sin(J_int)
+    rem_sin = iv.add(
+        iv.scale(q_rad, jnp.cos(qc)),
+        iv.scale(iv.mul(sinJ, pow_term), -0.5),
+    )
+    sin_c = jnp.sin(qc) + iv.center(rem_sin)
+    sin_k = kd_scaled * jnp.cos(qc)
+    sin_e = iv.radius(rem_sin)
+    return cos_c, cos_k, cos_e, sin_c, sin_k, sin_e
+
+
+def assemble_rotations(robot, cos_c, cos_k, cos_e, sin_c, sin_k, sin_e,
+                       basis: KBasis, dt):
+    """Rotation PZs R [T, J+1, 3, 3] and their transposes from per-joint
+    cos/sin PZ data (Trajectory.cu:136-153,244-253)."""
+    T = cos_c.shape[0]
+    J = robot.num_joints
+    F = robot.num_factors
+    B = basis.size
+    E = error_layout(basis.nf)["size"]
+    lay = error_layout(basis.nf)
+    lin = basis.lin_idx
+    rotm = jnp.asarray(robot.rot_mats, dt)
+    zerosT = jnp.zeros((T,), dt)
+    R_coef, R_egen = [], []
+    for i in range(J):
+        axis = int(robot.axes[i])
+        coef_i = jnp.zeros((T, 3, 3, B), dt)
+        egen_i = jnp.zeros((T, 3, 3, E), dt)
+        if axis == 0 or i >= F:
+            ctr = rotm[i] @ jnp.eye(3, dtype=dt)
+            coef_i = coef_i.at[..., 0].set(jnp.broadcast_to(ctr, (T, 3, 3)))
+        else:
+            sign = 1.0 if axis > 0 else -1.0  # reversed joints rotate by -q
+            axis = abs(axis)
+            rot_c = _rot_pattern(axis, cos_c[:, i], sign * sin_c[:, i], dt)
+            eye_axis = jnp.zeros((3, 3), dt).at[axis - 1, axis - 1].set(1.0)
+            ctr = jnp.einsum("ab,tbc->tac", rotm[i], rot_c + eye_axis)
+            coef_i = coef_i.at[..., 0].set(ctr)
+            kmat = jnp.einsum(
+                "ab,tbc->tac", rotm[i],
+                _rot_pattern(axis, cos_k[:, i], sign * sin_k[:, i], dt),
+            )
+            coef_i = coef_i.at[..., int(lin[i])].set(kmat)
+            cmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_e[:, i], zerosT, dt))
+            smat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, zerosT, sin_e[:, i], dt))
+            egen_i = egen_i.at[..., lay["cosqe"].start + i].set(cmat)
+            egen_i = egen_i.at[..., lay["sinqe"].start + i].set(smat)
+        R_coef.append(coef_i)
+        R_egen.append(egen_i)
+
+    coef_id = jnp.zeros((T, 3, 3, B), dt).at[..., 0].set(
+        jnp.broadcast_to(jnp.eye(3, dtype=dt), (T, 3, 3))
+    )
+    R_coef.append(coef_id)
+    R_egen.append(jnp.zeros((T, 3, 3, E), dt))
+
+    R = BPZ(
+        coef=jnp.stack(R_coef, axis=1),
+        egen=jnp.stack(R_egen, axis=1),
+        rad=jnp.zeros((T, J + 1, 3, 3), dt),
+    )
+    Rt = BPZ(
+        coef=jnp.swapaxes(R.coef[:, :J], 2, 3),
+        egen=jnp.swapaxes(R.egen[:, :J], 2, 3),
+        rad=jnp.swapaxes(R.rad[:, :J], 2, 3),
+    )
+    return R, Rt
+
+
+def make_velocity_pz(center, kcoef, ecoef, egroup_name: str, basis: KBasis, dt):
+    """[T, F] velocity/acceleration PZ: center + k_i + dedicated error var."""
+    T, F = center.shape
+    B = basis.size
+    lay = error_layout(basis.nf)
+    E = lay["size"]
+    lin = basis.lin_idx
+    k_onehot = jnp.stack([_one_hot(int(lin[i]), B, dt) for i in range(F)])
+    e0 = _one_hot(0, B, dt)
+    coef = center[..., None] * e0 + kcoef[..., None] * k_onehot
+    eg = jnp.zeros((T, F, E), dt)
+    idx = np.arange(F) + lay[egroup_name].start
+    eg = eg.at[:, np.arange(F), idx].set(ecoef)
+    return BPZ(coef=coef, egen=eg, rad=jnp.zeros((T, F), dt))
+
+
 def build_jrs(q0, qd0, qdd0, robot: RobotModel, cfg: ArmourConfig, basis: KBasis) -> JRS:
     """Build the online JRS for one initial state.  q0/qd0/qdd0: [F]."""
     dt = cfg.dtype
@@ -117,7 +234,10 @@ def build_jrs(q0, qd0, qdd0, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     qdd0 = jnp.asarray(qdd0, dt)
     Tqd0 = qd0 * dur
     TTqdd0 = qdd0 * dur * dur
-    traj = TrajectoryCoeffs(q0=q0, qd0=qd0, qdd0=qdd0, Tqd0=Tqd0, TTqdd0=TTqdd0)
+    traj = TrajectoryCoeffs(
+        q0=q0, qd0=qd0, qdd0=qdd0, Tqd0=Tqd0, TTqdd0=TTqdd0,
+        k_scale=jnp.asarray(cfg.k_range, dt), family="bernstein",
+    )
 
     ds = 1.0 / T
     s_lb = (jnp.arange(T, dtype=dt) * ds)[:, None]        # [T, 1]
@@ -137,28 +257,9 @@ def build_jrs(q0, qd0, qdd0, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     qc = (ki_hi + ki_lo) * 0.5                             # [T, F]
 
     Rq = kd_radius + ki_radius + ub.qe                     # q_des interval radius
-    W = Rq + jnp.abs(kd_center) * k_range                  # total k+indep width
-    q_rad = iv.sym(Rq)
-    J_int = (qc - W, qc + W)
-    pow_term = (jnp.zeros_like(W), W * W)
-
-    cosJ = iv.cos(J_int)
-    rem_cos = iv.add(
-        iv.scale(q_rad, -jnp.sin(qc)),
-        iv.scale(iv.mul(cosJ, pow_term), -0.5),
+    cos_c, cos_k, cos_e, sin_c, sin_k, sin_e = trig_taylor_pz(
+        qc, Rq, kd_center * k_range
     )
-    cos_c = jnp.cos(qc) + iv.center(rem_cos)               # [T, F]
-    cos_k = -kd_center * k_range * jnp.sin(qc)
-    cos_e = iv.radius(rem_cos)
-
-    sinJ = iv.sin(J_int)
-    rem_sin = iv.add(
-        iv.scale(q_rad, jnp.cos(qc)),
-        iv.scale(iv.mul(sinJ, pow_term), -0.5),
-    )
-    sin_c = jnp.sin(qc) + iv.center(rem_sin)
-    sin_k = kd_center * k_range * jnp.cos(qc)
-    sin_e = iv.radius(rem_sin)
 
     # ---- Part 2: qd_des / qda_des (Trajectory.cu:155-195) ----
     v_lb = 30.0 * s_lb**2 * (s_lb - 1.0) ** 2 / dur
@@ -211,69 +312,12 @@ def build_jrs(q0, qd0, qdd0, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     qdd_center = (ai_hi + ai_lo) * 0.5
     qdda_e = ad_radius + ai_radius + ub.qddae
 
-    # ---- assemble velocity/acceleration BPZ tensors [T, F] ----
-    lin = basis.lin_idx  # [F] basis slot of k_i
-    k_onehot = jnp.stack([_one_hot(int(lin[i]), B, dt) for i in range(F)])   # [F, B]
-    e0 = _one_hot(0, B, dt)
-
-    def vel_pz(center, kcoef, ecoef, egroup: slice) -> BPZ:
-        coef = center[..., None] * e0 + kcoef[..., None] * k_onehot
-        eg = jnp.zeros((T, F, E), dt)
-        idx = np.arange(F) + egroup.start
-        eg = eg.at[:, np.arange(F), idx].set(ecoef)
-        return BPZ(coef=coef, egen=eg, rad=jnp.zeros((T, F), dt))
-
-    qd_pz = vel_pz(qd_center, vd_center, qd_e, lay["qde"])
-    qda_pz = vel_pz(qd_center, vd_center, qda_e, lay["qdae"])
-    qdda_pz = vel_pz(qdd_center, ad_center, qdda_e, lay["qddae"])
-
-    # ---- rotation PZs R / Rt [T, J+1, 3, 3] (Trajectory.cu:136-153,244-253) ----
-    rotm = jnp.asarray(robot.rot_mats, dt)  # [J, 3, 3] fixed rpy rotations
-    R_coef = []
-    R_egen = []
-    ones = jnp.ones((T,), dt)
-    zerosT = jnp.zeros((T,), dt)
-    for i in range(J):
-        axis = int(robot.axes[i])
-        coef_i = jnp.zeros((T, 3, 3, B), dt)
-        egen_i = jnp.zeros((T, 3, 3, E), dt)
-        if axis == 0 or i >= F:
-            full = jnp.eye(3, dtype=dt)
-            ctr = rotm[i] @ full
-            coef_i = coef_i.at[..., 0].set(jnp.broadcast_to(ctr, (T, 3, 3)))
-        else:
-            sign = 1.0 if axis > 0 else -1.0  # reversed joints rotate by -q
-            axis = abs(axis)
-            rot_c = _rot_pattern(axis, cos_c[:, i], sign * sin_c[:, i], dt)
-            # identity completion on the axis row/col
-            eye_axis = jnp.eye(3, dtype=dt).at[:, :].multiply(0.0).at[axis - 1, axis - 1].set(1.0)
-            ctr = jnp.einsum("ab,tbc->tac", rotm[i], rot_c + eye_axis)
-            coef_i = coef_i.at[..., 0].set(ctr)
-            kmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_k[:, i], sign * sin_k[:, i], dt))
-            coef_i = coef_i.at[..., int(lin[i])].set(kmat)
-            cmat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, cos_e[:, i], zerosT, dt))
-            smat = jnp.einsum("ab,tbc->tac", rotm[i], _rot_pattern(axis, zerosT, sin_e[:, i], dt))
-            egen_i = egen_i.at[..., lay["cosqe"].start + i].set(cmat)
-            egen_i = egen_i.at[..., lay["sinqe"].start + i].set(smat)
-        R_coef.append(coef_i)
-        R_egen.append(egen_i)
-
-    # identity closing rotation (R(NUM_JOINTS); Trajectory.cu:252)
-    coef_id = jnp.zeros((T, 3, 3, B), dt).at[..., 0].set(
-        jnp.broadcast_to(jnp.eye(3, dtype=dt), (T, 3, 3))
-    )
-    R_coef.append(coef_id)
-    R_egen.append(jnp.zeros((T, 3, 3, E), dt))
-
-    R = BPZ(
-        coef=jnp.stack(R_coef, axis=1),
-        egen=jnp.stack(R_egen, axis=1),
-        rad=jnp.zeros((T, J + 1, 3, 3), dt),
-    )
-    Rt = BPZ(
-        coef=jnp.swapaxes(R.coef[:, :J], 2, 3),
-        egen=jnp.swapaxes(R.egen[:, :J], 2, 3),
-        rad=jnp.swapaxes(R.rad[:, :J], 2, 3),
+    # ---- assemble BPZ tensors via shared helpers ----
+    qd_pz = make_velocity_pz(qd_center, vd_center, qd_e, "qde", basis, dt)
+    qda_pz = make_velocity_pz(qd_center, vd_center, qda_e, "qdae", basis, dt)
+    qdda_pz = make_velocity_pz(qdd_center, ad_center, qdda_e, "qddae", basis, dt)
+    R, Rt = assemble_rotations(
+        robot, cos_c, cos_k, cos_e, sin_c, sin_k, sin_e, basis, dt
     )
 
     return JRS(R=R, Rt=Rt, qd=qd_pz, qda=qda_pz, qdda=qdda_pz, traj=traj)

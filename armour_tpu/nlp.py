@@ -50,9 +50,13 @@ def wrap_to_pi(x):
 
 
 def plan_cost(k, traj: TrajectoryCoeffs, q_des, robot: RobotModel, cfg: ArmourConfig):
-    k_act = k * jnp.asarray(cfg.k_range, k.dtype)
-    s_plan = cfg.t_plan / cfg.duration
-    q_plan = bezier.q_des(traj.q0, traj.Tqd0, traj.TTqdd0, k_act, s_plan)
+    k_act = k * traj.k_scale
+    if traj.family == "armtd":
+        tp = cfg.t_plan
+        q_plan = traj.q0 + traj.qd0 * tp + 0.5 * k_act * tp * tp
+    else:
+        s_plan = cfg.t_plan / cfg.duration
+        q_plan = bezier.q_des(traj.q0, traj.Tqd0, traj.TTqdd0, k_act, s_plan)
     diff = q_plan - q_des
     cont = jnp.asarray(robot.continuous_joints)
     diff = jnp.where(cont, wrap_to_pi(diff), diff)
@@ -79,7 +83,11 @@ def joint_position_extrema(k, traj: TrajectoryCoeffs, cfg: ArmourConfig):
     """(q_min, q_max) [F] over the trajectory and their dk gradients [F]
     (diagonal; envelope theorem at interior roots makes the gradient
     ds^3(6s^2-15s+10) * k_range at the critical time)."""
-    k_range = jnp.asarray(cfg.k_range, k.dtype)
+    if traj.family == "armtd":
+        from .armtd import armtd_position_extrema
+
+        return armtd_position_extrema(k, traj, cfg)
+    k_range = traj.k_scale
     k_act = k * k_range
     q0, Tqd0, TTqdd0 = traj.q0, traj.Tqd0, traj.TTqdd0
 
@@ -115,7 +123,11 @@ def joint_position_extrema(k, traj: TrajectoryCoeffs, cfg: ArmourConfig):
 
 def joint_velocity_extrema(k, traj: TrajectoryCoeffs, cfg: ArmourConfig):
     """(qd_min, qd_max) [F] and dk gradients (Trajectory.cu:399-540)."""
-    k_range = jnp.asarray(cfg.k_range, k.dtype)
+    if traj.family == "armtd":
+        from .armtd import armtd_velocity_extrema
+
+        return armtd_velocity_extrema(k, traj, cfg)
+    k_range = traj.k_scale
     k_act = k * k_range
     q0, Tqd0, TTqdd0 = traj.q0, traj.Tqd0, traj.TTqdd0
     dur = cfg.duration

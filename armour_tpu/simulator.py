@@ -221,13 +221,16 @@ def run_trial(
     stop_threshold: int = 4,
     lookahead: float = 0.4,
     verbose: bool = False,
+    rollout=None,
+    oracles=None,
 ) -> TrialSummary:
     """One closed-loop trial on one world (kinova_run_100_worlds.m per-world
-    loop).  planner_step = make_planner(robot, cfg) output."""
+    loop).  planner_step = make_planner(robot, cfg) output.  Pass precompiled
+    rollout/oracles when running many trials (they are world-independent)."""
     import time as _time
 
-    rollout = make_rollout(robot, cfg)
-    oracles = make_oracles(robot, cfg)
+    rollout = rollout if rollout is not None else make_rollout(robot, cfg)
+    oracles = oracles if oracles is not None else make_oracles(robot, cfg)
 
     dt_ref = cfg.dtype
     q = jnp.asarray(world.start, dt_ref)

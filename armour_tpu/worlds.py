@@ -14,7 +14,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from .robot import RobotModel
-from .rnea_numeric import forward_kinematics
 
 
 @dataclasses.dataclass
@@ -66,11 +65,28 @@ def save_world_csv(world: World, path: str) -> None:
 
 
 def _arm_sphere_centers(robot: RobotModel, q: np.ndarray) -> np.ndarray:
-    """Link box centers along the arm for fast clearance checks."""
-    import jax.numpy as jnp
-
-    _, _, centers = forward_kinematics(robot, jnp.asarray(q))
-    return np.asarray(centers)
+    """Link box centers along the arm (pure numpy FK: world generation is a
+    host-side utility and must not pay device dispatch)."""
+    fk_r = np.eye(3)
+    fk_t = np.zeros(3)
+    out = []
+    for i in range(robot.num_joints):
+        fk_t = fk_t + fk_r @ robot.trans[i]
+        axis = int(robot.axes[i])
+        R = np.eye(3)
+        if axis != 0 and i < robot.num_factors:
+            th = q[i] * (1.0 if axis > 0 else -1.0)
+            c, si = np.cos(th), np.sin(th)
+            a = abs(axis) - 1
+            if a == 0:
+                R = np.array([[1, 0, 0], [0, c, -si], [0, si, c]])
+            elif a == 1:
+                R = np.array([[c, 0, si], [0, 1, 0], [-si, 0, c]])
+            else:
+                R = np.array([[c, -si, 0], [si, c, 0], [0, 0, 1]])
+        fk_r = fk_r @ robot.rot_mats[i] @ R
+        out.append(fk_t + fk_r @ robot.link_center[i])
+    return np.asarray(out)
 
 
 def _aabb_clearance(point: np.ndarray, centers: np.ndarray, sides: np.ndarray) -> np.ndarray:

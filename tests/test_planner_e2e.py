@@ -50,6 +50,7 @@ def test_solver_improves_cost(result):
         q0=jnp.asarray(Q0), qd0=jnp.asarray(QD0), qdd0=jnp.asarray(QDD0),
         Tqd0=jnp.asarray(QD0 * CFG.duration),
         TTqdd0=jnp.asarray(QDD0 * CFG.duration**2),
+        k_scale=jnp.asarray(CFG.k_range), family="bernstein",
     )
     c_opt = nlp.plan_cost(jnp.asarray(result.k), traj, jnp.asarray(Q_DES), ROBOT, CFG)
     c_zero = nlp.plan_cost(jnp.zeros(7), traj, jnp.asarray(Q_DES), ROBOT, CFG)
