@@ -16,11 +16,20 @@ threads; here the whole thing is batched dense tensor arithmetic, and the
 per-iteration evaluation is a single contraction of the link k-polynomials
 with phi(k).
 
-TPU layout note: every array keeps the huge fused (T*J*O) axis LAST and the
-tiny combo/coordinate axes leading ([C, 3, N]); trailing dims are padded to
-(8, 128) tiles by the TPU memory layout, so a [N, C, 3] layout would waste
-5-30x HBM in padding (measured: batch-64 solve OOMed at 22 GB before this
-layout, fits comfortably after).
+TPU notes:
+- every array keeps the huge fused (T*J*O) axis LAST; the coordinate axis
+  (3) leads so the trailing two dims are (C=36, N) / (9, N) — padded only
+  36->40 by the (8,128) tile layout instead of 8/3x for a trailing
+  3-axis (measured: batch-64 solve OOMed at 22 GB with [C, 3, N]).
+- all contractions over the tiny axes (3 coords, 9 generators) are written
+  as unrolled elementwise multiply-adds, NOT einsum/dot: XLA lowers small
+  dot_generals to the MXU at default (bfloat16) precision, which loses ~2e-2
+  relative on the safety buffer delta (measured) and is slower than the VPU
+  for 3-wide contractions.
+- the solver hot loop shares the T*J distinct link-center polynomials
+  across all screened rows via a row->link gather (ScreenedCollision.row)
+  instead of copying the [3, B] coefficients into every row, cutting the
+  per-iteration HBM traffic ~B/3-fold.
 """
 
 from __future__ import annotations
@@ -76,10 +85,15 @@ def pad_obstacles(centers, generators, max_obstacles: int, dtype=jnp.float32) ->
 class Hyperplanes:
     """Precomputed polytope data; N = T*J*O flattened, C = 36 combos."""
 
-    A: jnp.ndarray      # [C, 3, N] unit normals (0 for degenerate pairs)
+    A: jnp.ndarray      # [3, C, N] unit normals (0 for degenerate pairs)
     d: jnp.ndarray      # [C, N]
     delta: jnp.ndarray  # [C, N]
     dims: tuple = dataclasses.field(metadata=dict(static=True))  # (T, J, O)
+
+
+def _dot3(a, b):
+    """Unrolled 3-coordinate dot product: a, b [3, ...] -> [...]."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
 def build_hyperplanes(frs: LinkFRS, obs: ObstacleSet) -> Hyperplanes:
@@ -99,55 +113,60 @@ def build_hyperplanes(frs: LinkFRS, obs: ObstacleSet) -> Hyperplanes:
 
     ga = G[:, _COMBS[:, 0], :]          # [3, C, N]
     gb = G[:, _COMBS[:, 1], :]
-    cr = jnp.cross(ga, gb, axis=0)      # [3, C, N]
-    norm = jnp.sqrt(jnp.sum(cr * cr, axis=0, keepdims=True))
-    A = jnp.where(norm > 0, cr / jnp.where(norm > 0, norm, 1.0), 0.0)  # [3,C,N]
-    # delta[c, n] = sum_g |sum_a A[a,c,n] G[a,g,n]|
-    delta = jnp.sum(jnp.abs(jnp.einsum("acn,agn->cgn", A, G)), axis=1)  # [C, N]
-    cb = jnp.broadcast_to(obs.centers.T[:, None, None, :], (3, T, J, O)).reshape(3, 1, N)
-    d = jnp.sum(A * cb, axis=0)                                         # [C, N]
-    return Hyperplanes(A=jnp.moveaxis(A, 1, 0), d=d, delta=delta, dims=(T, J, O))
+    cr = jnp.stack([
+        ga[1] * gb[2] - ga[2] * gb[1],
+        ga[2] * gb[0] - ga[0] * gb[2],
+        ga[0] * gb[1] - ga[1] * gb[0],
+    ])                                  # [3, C, N]
+    n2 = _dot3(cr, cr)
+    inv = jnp.where(n2 > 0, jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
+    A = cr * inv[None]                  # [3, C, N] unit normals
+    # delta[c, n] = sum_g |sum_a A[a,c,n] G[a,g,n]|  (fused reduce over g)
+    AG = (A[0][:, None] * G[0][None] + A[1][:, None] * G[1][None]
+          + A[2][:, None] * G[2][None])                      # [C, 9, N]
+    delta = jnp.sum(jnp.abs(AG), axis=1)                     # [C, N]
+    cb = jnp.broadcast_to(obs.centers.T[:, None, None, :], (3, T, J, O)).reshape(3, N)
+    d = _dot3(A, cb[:, None, :])                             # [C, N]
+    return Hyperplanes(A=A, d=d, delta=delta, dims=(T, J, O))
 
 
-def link_centers(frs: LinkFRS, phi_k: jnp.ndarray) -> jnp.ndarray:
-    """Sliced link centers p(k) [T, J, 3] (NLPclass.cu:304-315)."""
-    return jnp.einsum("tjam,m->tja", frs.center_coef, phi_k)
+def eval_link_polys(frs: LinkFRS, phi: jnp.ndarray) -> jnp.ndarray:
+    """Sliced link centers for all (time, link) cells: [3, T*J]
+    (NLPclass.cu:304-315).  Written as an fp32 matmul (precision pinned:
+    the TPU MXU default would evaluate in bfloat16)."""
+    T, J = frs.center_coef.shape[:2]
+    B = frs.center_coef.shape[-1]
+    p = frs.center_coef.reshape(T * J * 3, B) @ phi.astype(frs.center_coef.dtype)
+    return jnp.moveaxis(p.reshape(T * J, 3), -1, 0)          # [3, TJ]
 
 
-def collision_constraints(hyp: Hyperplanes, obs: ObstacleSet, p: jnp.ndarray):
-    """Constraint values g [T, J, O] (<= 0 safe) and dg/dp [T, J, O, 3]
-    (argmax hyperplane, checkCollisionKernel semantics)."""
+def eval_link_poly_grads(frs: LinkFRS, dphi: jnp.ndarray) -> jnp.ndarray:
+    """d(link centers)/dk for all cells: [3, F, T*J]."""
+    T, J = frs.center_coef.shape[:2]
+    B = frs.center_coef.shape[-1]
+    F = dphi.shape[-1]
+    dp = frs.center_coef.reshape(T * J * 3, B) @ dphi        # [TJ*3, F]
+    return jnp.moveaxis(dp.reshape(T * J, 3, F), 0, -1)      # [3, F, TJ]
+
+
+def collision_constraints(hyp: Hyperplanes, obs: ObstacleSet, p_all: jnp.ndarray):
+    """Full constraint values g [T, J, O] (<= 0 safe) over every row, from
+    the per-cell sliced centers p_all [3, T*J] (checkCollisionKernel
+    semantics; used by the final feasibility re-check)."""
     T, J, O = hyp.dims
     N = T * J * O
-    A = hyp.A                                              # [C, 3, N]
-    # p [T, J, 3] -> [3, N] broadcast over obstacles
+    A = hyp.A                                              # [3, C, N]
     pb = jnp.broadcast_to(
-        jnp.moveaxis(p, -1, 0)[:, :, :, None], (3, T, J, O)
-    ).reshape(3, N)
-    Ap = jnp.einsum("can,an->cn", A, pb)                   # [C, N]
-    ok = jnp.sum(jnp.abs(A), axis=1) > 0                   # [C, N]
+        p_all.reshape(3, T, J, 1), (3, T, J, O)
+    ).reshape(3, 1, N)
+    Ap = _dot3(A, pb)                                      # [C, N]
+    ok = jnp.abs(A[0]) + jnp.abs(A[1]) + jnp.abs(A[2]) > 0
     pos = jnp.where(ok, Ap - (hyp.d + hyp.delta), -BIG)
     neg = jnp.where(ok, -Ap - (-hyp.d + hyp.delta), -BIG)
-    both = jnp.concatenate([pos, neg], axis=0)             # [2C, N]
-    m = jnp.max(both, axis=0)                              # [N]
+    m = jnp.maximum(jnp.max(pos, axis=0), jnp.max(neg, axis=0))   # [N]
     mask = jnp.broadcast_to(obs.mask[None, None, :], (T, J, O)).reshape(N)
     g = jnp.where(mask, -m, -BIG)
-
-    C = A.shape[0]
-    idx = jnp.argmax(both, axis=0)                         # [N]
-    sign = jnp.where(idx < C, -1.0, 1.0)
-    comb = jnp.where(idx < C, idx, idx - C)
-    A_sel = jnp.take_along_axis(A, comb[None, None, :], axis=0)[0]  # [3, N]
-    grad_p = sign[None, :] * A_sel                         # [3, N] = dg/dp
-    grad_p = jnp.where(mask[None, :], grad_p, 0.0)
-    return g.reshape(T, J, O), jnp.moveaxis(grad_p.reshape(3, T, J, O), 0, -1)
-
-
-def collision_constraint_grads(grad_p: jnp.ndarray, frs: LinkFRS,
-                               dphi_k: jnp.ndarray) -> jnp.ndarray:
-    """dg/dk [T, J, O, F] via dp/dk = coef . dphi (CollisionChecking.cu:286-297)."""
-    dp = jnp.einsum("tjam,mf->tjaf", frs.center_coef, dphi_k)  # [T,J,3,F]
-    return jnp.einsum("tjoa,tjaf->tjof", grad_p, dp)
+    return g.reshape(T, J, O)
 
 
 @jax.tree_util.register_dataclass
@@ -164,10 +183,10 @@ class ScreenedCollision:
     into an infeasible verdict (-> braking), never an unsafe plan.
     """
 
-    A: jnp.ndarray        # [C, 3, K]
+    A: jnp.ndarray        # [3, C, K]
     d: jnp.ndarray        # [C, K]
     delta: jnp.ndarray    # [C, K]
-    coef: jnp.ndarray     # [3, B, K] link-center k-polynomials of each row
+    row: jnp.ndarray      # [K] int32 index into the T*J link-center cells
     mask: jnp.ndarray     # [K] real-obstacle mask
 
 
@@ -176,24 +195,28 @@ def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
     """Rank all rows by sup_k g(k) upper bound; gather the K worst."""
     T, J, O = hyp.dims
     N = T * J * O
-    A = hyp.A                                                # [C, 3, N]
-    C = A.shape[0]
+    A = hyp.A                                                 # [3, C, N]
     B = frs.center_coef.shape[-1]
 
-    # link-center polynomial per row: coef [T, J, 3, B] -> [3, B, N]
-    coef_n = jnp.broadcast_to(
-        jnp.moveaxis(frs.center_coef, (2, 3), (0, 1))[:, :, :, :, None],
-        (3, B, T, J, O),
-    ).reshape(3, B, N)
-
-    Apc = jnp.einsum("can,an->cn", A, coef_n[:, 0, :])        # center term
-    # sup_k |sum_a A . coef_m| summed over non-constant monomials
-    Ac = jnp.einsum("can,abn->cbn", A, coef_n[:, 1:, :])      # [C, B-1, N]
-    r = jnp.sum(jnp.abs(Ac), axis=1)                          # [C, N]
-    ok = jnp.sum(jnp.abs(A), axis=1) > 0
+    # constant term and per-cell monomial envelope of the link centers
+    p0 = jnp.broadcast_to(
+        jnp.moveaxis(frs.center_coef[..., 0], -1, 0).reshape(3, T, J, 1),
+        (3, T, J, O),
+    ).reshape(3, 1, N)
+    Apc = _dot3(A, p0)                                        # [C, N]
+    # sup_k |sum_a A . coef_m| over non-constant monomials, exactly:
+    # r = sum_b |A0 c0b + A1 c1b + A2 c2b|  (fused reduce over b)
+    coef = jnp.broadcast_to(
+        jnp.moveaxis(frs.center_coef[..., 1:], (2, 3), (0, 1)).reshape(3, B - 1, T, J, 1),
+        (3, B - 1, T, J, O),
+    ).reshape(3, B - 1, N)
+    AC = (A[0][:, None] * coef[0][None] + A[1][:, None] * coef[1][None]
+          + A[2][:, None] * coef[2][None])                    # [C, B-1, N]
+    r = jnp.sum(jnp.abs(AC), axis=1)                          # [C, N]
+    ok = jnp.abs(A[0]) + jnp.abs(A[1]) + jnp.abs(A[2]) > 0
     pos_lb = jnp.where(ok, Apc - r - (hyp.d + hyp.delta), -BIG)
     neg_lb = jnp.where(ok, -Apc - r - (-hyp.d + hyp.delta), -BIG)
-    m_lb = jnp.max(jnp.maximum(pos_lb, neg_lb), axis=0)       # [N]
+    m_lb = jnp.maximum(jnp.max(pos_lb, axis=0), jnp.max(neg_lb, axis=0))
     mask = jnp.broadcast_to(obs.mask[None, None, :], (T, J, O)).reshape(N)
     g_up = jnp.where(mask, -m_lb, -BIG)                       # upper bnd of g
 
@@ -202,33 +225,37 @@ def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
         A=jnp.take(A, idx, axis=-1),
         d=jnp.take(hyp.d, idx, axis=-1),
         delta=jnp.take(hyp.delta, idx, axis=-1),
-        coef=jnp.take(coef_n, idx, axis=-1),
+        row=(idx // O).astype(jnp.int32),
         mask=jnp.take(mask, idx),
     )
 
 
-def screened_constraints(sc: ScreenedCollision, phi: jnp.ndarray):
-    """g [K] and dg/dp-chain data for the screened rows."""
-    p = jnp.einsum("abk,b->ak", sc.coef, phi)                 # [3, K]
-    Ap = jnp.einsum("cak,ak->ck", sc.A, p)
-    ok = jnp.sum(jnp.abs(sc.A), axis=1) > 0
+def screened_constraints(sc: ScreenedCollision, p_all: jnp.ndarray):
+    """g [K] (<= 0 safe) and dg/dp [3, K] for the screened rows, given the
+    per-cell sliced link centers p_all [3, T*J]."""
+    p = p_all[:, sc.row]                                      # [3, K]
+    Ap = _dot3(sc.A, p[:, None, :])                           # [C, K]
+    ok = jnp.abs(sc.A[0]) + jnp.abs(sc.A[1]) + jnp.abs(sc.A[2]) > 0
     pos = jnp.where(ok, Ap - (sc.d + sc.delta), -BIG)
     neg = jnp.where(ok, -Ap - (-sc.d + sc.delta), -BIG)
-    both = jnp.concatenate([pos, neg], axis=0)
+    both = jnp.concatenate([pos, neg], axis=0)                # [2C, K]
     m = jnp.max(both, axis=0)
     g = jnp.where(sc.mask, -m, -BIG)
 
-    C = sc.A.shape[0]
+    C = sc.A.shape[1]
     idx = jnp.argmax(both, axis=0)
     sign = jnp.where(idx < C, -1.0, 1.0)
     comb = jnp.where(idx < C, idx, idx - C)
-    A_sel = jnp.take_along_axis(sc.A, comb[None, None, :], axis=0)[0]   # [3, K]
+    A_sel = jnp.take_along_axis(sc.A, comb[None, None, :], axis=1)[:, 0]  # [3, K]
     grad_p = jnp.where(sc.mask[None, :], sign[None, :] * A_sel, 0.0)
     return g, grad_p
 
 
 def screened_constraint_grads(sc: ScreenedCollision, grad_p: jnp.ndarray,
-                              dphi: jnp.ndarray) -> jnp.ndarray:
-    """dg/dk [K, F]: grad_p [3, K] chained with dp/dk = coef . dphi."""
-    dp = jnp.einsum("abk,bf->afk", sc.coef, dphi)             # [3, F, K]
-    return jnp.einsum("ak,afk->kf", grad_p, dp)
+                              dp_all: jnp.ndarray) -> jnp.ndarray:
+    """dg/dk [K, F]: grad_p [3, K] chained with dp/dk [3, F, T*J]
+    (CollisionChecking.cu:286-297)."""
+    dp = dp_all[:, :, sc.row]                                 # [3, F, K]
+    dg = (grad_p[0][None] * dp[0] + grad_p[1][None] * dp[1]
+          + grad_p[2][None] * dp[2])                          # [F, K]
+    return dg.T

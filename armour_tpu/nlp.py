@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from . import bezier
 from .collision import (BIG, Hyperplanes, ObstacleSet, ScreenedCollision,
-                        collision_constraints, screened_constraint_grads,
+                        collision_constraints, eval_link_poly_grads,
+                        eval_link_polys, screened_constraint_grads,
                         screened_constraints)
 from .config import ArmourConfig
 from .dynamics import TorqueFRS
@@ -206,10 +207,12 @@ def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
             du = uc @ dphi                                               # [T*F, F]
             Js += [du, -du]
 
-    g_col, grad_p = screened_constraints(prob.screened, phi)
+    p_all = eval_link_polys(prob.frs, phi)
+    g_col, grad_p = screened_constraints(prob.screened, p_all)
     cs.append(g_col)
     if with_grad:
-        Js.append(screened_constraint_grads(prob.screened, grad_p, dphi))
+        dp_all = eval_link_poly_grads(prob.frs, dphi)
+        Js.append(screened_constraint_grads(prob.screened, grad_p, dp_all))
 
     q_min, q_max, gq_min, gq_max = joint_position_extrema(k, prob.traj, cfg)
     qd_min, qd_max, gd_min, gd_max = joint_velocity_extrema(k, prob.traj, cfg)
@@ -247,9 +250,8 @@ def max_violations(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
     hi = tl[None, :] - prob.torque.torque_radius
     v_torque = jnp.max(jnp.abs(u) - hi)
 
-    Tn, Jn = prob.frs.radius.shape[:2]
-    p = (prob.frs.center_coef.reshape(-1, phi.shape[0]) @ phi).reshape(Tn, Jn, 3)
-    g_col, _ = collision_constraints(prob.hyp, prob.obs, p)
+    p_all = eval_link_polys(prob.frs, phi)
+    g_col = collision_constraints(prob.hyp, prob.obs, p_all)
     v_col = jnp.max(g_col)
 
     q_min, q_max, _, _ = joint_position_extrema(k, prob.traj, cfg)
