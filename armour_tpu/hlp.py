@@ -1,0 +1,233 @@
+"""High-level planners (waypoint generators) for the receding-horizon loop.
+
+The reference keeps HLPs on the host as cheap geometric guidance
+(simulator/planners/high_level_planners/); the TPU owns the certified
+mid-level planner.  Same split here: HLPs are pure numpy, called once per
+0.5 s re-plan, so device dispatch would be pure overhead.
+
+  * StraightLineHLP       — robot_arm_straight_line_HLP.m:45-57: step toward
+    the goal along the wrapped configuration-space difference.
+  * EndEffectorRRTStarHLP — arm_end_effector_RRT_star_HLP.m: grow an RRT* on
+    end-effector positions in the 3-D workspace with edge feasibility checks
+    against buffered obstacle boxes, walk the best path a lookahead distance,
+    and convert the 3-D waypoint to a configuration waypoint by damped
+    least-squares IK seeded from the midpoint of the current and goal
+    configurations (IK failure falls back to the global goal configuration,
+    matching the reference's exitflag<0 branch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .robot import RobotModel
+from .worlds import World, straight_line_waypoint
+
+
+class StraightLineHLP:
+    def __init__(self, world: World, robot: RobotModel, lookahead: float = 0.4):
+        self.world = world
+        self.lookahead = lookahead
+
+    def get_waypoint(self, q: np.ndarray) -> np.ndarray:
+        return straight_line_waypoint(q, self.world.goal, self.lookahead)
+
+
+# ---------------------------------------------------------------------------
+# forward kinematics helpers (numpy; mirrors rnea_numeric.forward_kinematics)
+# ---------------------------------------------------------------------------
+
+
+def _fk_frames(robot: RobotModel, q: np.ndarray):
+    """World rotation and position of every joint frame plus the tool point."""
+    fk_r = np.eye(3)
+    fk_t = np.zeros(3)
+    ps = []
+    for i in range(robot.num_joints):
+        fk_t = fk_t + fk_r @ robot.trans[i]
+        R = np.eye(3)
+        axis = int(robot.axes[i])
+        if axis != 0 and i < robot.num_factors:
+            th = q[i] * (1.0 if axis > 0 else -1.0)
+            c, s = np.cos(th), np.sin(th)
+            a = abs(axis) - 1
+            if a == 0:
+                R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+            elif a == 1:
+                R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            else:
+                R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        fk_r = fk_r @ robot.rot_mats[i] @ R
+        ps.append(fk_t.copy())
+    ee = fk_t + fk_r @ robot.trans[robot.num_joints]
+    ps.append(ee)
+    return np.asarray(ps)
+
+
+def ee_position(robot: RobotModel, q: np.ndarray) -> np.ndarray:
+    """End-effector (tool frame origin) world position."""
+    return _fk_frames(robot, q)[-1]
+
+
+def ik_damped_ls(robot: RobotModel, target: np.ndarray, q0: np.ndarray,
+                 iters: int = 100, tol: float = 1e-4, damping: float = 1e-2):
+    """Position-only damped least-squares IK (the HLP's counterpart of
+    agent_info.inverse_kinematics, robot_arm_agent.m:946-1037 which uses
+    lsqnonlin).  Returns (q, converged)."""
+    q = np.asarray(q0, float).copy()
+    F = robot.num_factors
+    lb = np.where(robot.position_limits_lb < -100, -2 * np.pi, robot.position_limits_lb)
+    ub = np.where(robot.position_limits_ub > 100, 2 * np.pi, robot.position_limits_ub)
+    for _ in range(iters):
+        p = ee_position(robot, q)
+        err = target - p
+        if np.linalg.norm(err) < tol:
+            return q, True
+        # numeric Jacobian (3 x F); F is tiny so finite differences are cheap
+        J = np.zeros((3, F))
+        h = 1e-6
+        for j in range(F):
+            dq = q.copy()
+            dq[j] += h
+            J[:, j] = (ee_position(robot, dq) - p) / h
+        JT = J.T
+        step = JT @ np.linalg.solve(J @ JT + damping * np.eye(3), err)
+        q = np.clip(q + step, lb, ub)
+    return q, bool(np.linalg.norm(target - ee_position(robot, q)) < 10 * tol)
+
+
+# ---------------------------------------------------------------------------
+# workspace RRT* on end-effector positions
+# ---------------------------------------------------------------------------
+
+
+def _segment_hits_boxes(a: np.ndarray, b: np.ndarray, centers: np.ndarray,
+                        half: np.ndarray, step: float = 0.01) -> bool:
+    """Discretized segment-vs-AABB check (edge_feasibility_check_
+    discretization = 0.01 in the reference)."""
+    if centers.size == 0:
+        return False
+    n = max(2, int(np.ceil(np.linalg.norm(b - a) / step)) + 1)
+    ts = np.linspace(0.0, 1.0, n)
+    pts = a[None, :] + ts[:, None] * (b - a)[None, :]
+    d = np.abs(pts[:, None, :] - centers[None, :, :]) - half[None, :, :]
+    return bool(np.any(np.all(d < 0.0, axis=2)))
+
+
+@dataclasses.dataclass
+class _Tree:
+    nodes: list
+    parents: list
+    costs: list
+
+
+class EndEffectorRRTStarHLP:
+    """RRT* in the 3-D workspace on end-effector positions
+    (arm_end_effector_RRT_star_HLP.m semantics)."""
+
+    def __init__(self, world: World, robot: RobotModel, lookahead: float = 0.2,
+                 buffer: float = 0.05, bounds_radius: float = 1.1,
+                 max_nodes: int = 400, steer: float = 0.15,
+                 goal_bias: float = 0.2, rewire_radius: float = 0.25,
+                 seed: int = 0):
+        self.world = world
+        self.robot = robot
+        self.lookahead = lookahead
+        self.rng = np.random.default_rng(seed)
+        self.max_nodes = max_nodes
+        self.steer = steer
+        self.goal_bias = goal_bias
+        self.rewire_radius = rewire_radius
+        self.bounds_radius = bounds_radius
+
+        self.start_p = ee_position(robot, world.start)
+        self.goal_p = ee_position(robot, world.goal)
+        self.obs_c = np.asarray(world.obstacle_centers).reshape(-1, 3)
+        gens = np.asarray(world.obstacle_generators).reshape(-1, 3, 3)
+        self.obs_half = (np.abs(gens).sum(axis=2) + buffer) if len(gens) else gens.reshape(0, 3)
+        self._tree: Optional[_Tree] = None
+        self._path: Optional[np.ndarray] = None
+
+    def _grow(self, root: np.ndarray):
+        t = _Tree(nodes=[root], parents=[-1], costs=[0.0])
+        best_goal, best_cost = None, np.inf
+        for _ in range(self.max_nodes):
+            if self.rng.uniform() < self.goal_bias:
+                sample = self.goal_p
+            else:
+                sample = self.rng.uniform(-self.bounds_radius, self.bounds_radius, 3)
+                sample[2] = self.rng.uniform(0.0, self.bounds_radius)
+            nodes = np.asarray(t.nodes)
+            d = np.linalg.norm(nodes - sample[None, :], axis=1)
+            ni = int(np.argmin(d))
+            direction = sample - nodes[ni]
+            dist = np.linalg.norm(direction)
+            if dist < 1e-9:
+                continue
+            new = nodes[ni] + direction * min(1.0, self.steer / dist)
+            if _segment_hits_boxes(nodes[ni], new, self.obs_c, self.obs_half):
+                continue
+            # RRT* choose-parent + rewire within radius
+            near = np.where(np.linalg.norm(nodes - new[None, :], axis=1) < self.rewire_radius)[0]
+            parent, cost = ni, t.costs[ni] + dist * min(1.0, self.steer / dist)
+            for j in near:
+                cj = t.costs[j] + np.linalg.norm(t.nodes[j] - new)
+                if cj < cost and not _segment_hits_boxes(t.nodes[j], new, self.obs_c, self.obs_half):
+                    parent, cost = int(j), cj
+            t.nodes.append(new)
+            t.parents.append(parent)
+            t.costs.append(cost)
+            new_i = len(t.nodes) - 1
+            for j in near:
+                cj = cost + np.linalg.norm(t.nodes[j] - new)
+                if cj < t.costs[j] and not _segment_hits_boxes(new, t.nodes[j], self.obs_c, self.obs_half):
+                    t.parents[j] = new_i
+                    t.costs[j] = cj
+            gd = np.linalg.norm(new - self.goal_p)
+            if gd < self.steer and not _segment_hits_boxes(new, self.goal_p, self.obs_c, self.obs_half):
+                if cost + gd < best_cost:
+                    best_cost = cost + gd
+                    best_goal = new_i
+        self._tree = t
+        # extract path root -> best node (falls back to closest-to-goal node)
+        if best_goal is None:
+            nodes = np.asarray(t.nodes)
+            best_goal = int(np.argmin(np.linalg.norm(nodes - self.goal_p[None, :], axis=1)))
+            path = []
+        else:
+            path = [self.goal_p]
+        i = best_goal
+        while i >= 0:
+            path.append(t.nodes[i])
+            i = t.parents[i]
+        self._path = np.asarray(path[::-1])
+
+    def get_waypoint(self, q: np.ndarray) -> np.ndarray:
+        """Configuration waypoint: walk the EE path a lookahead distance from
+        the current EE position, then IK (reference get_waypoint)."""
+        p_now = ee_position(self.robot, q)
+        if self._path is None:
+            self._grow(p_now)
+        path = self._path
+        # closest path point, then walk lookahead arclength forward
+        d = np.linalg.norm(path - p_now[None, :], axis=1)
+        i = int(np.argmin(d))
+        remaining = self.lookahead
+        z = path[i]
+        while i + 1 < len(path) and remaining > 0:
+            seg = path[i + 1] - path[i]
+            L = np.linalg.norm(seg)
+            if L >= remaining:
+                z = path[i] + seg * (remaining / L)
+                break
+            z = path[i + 1]
+            remaining -= L
+            i += 1
+        q_seed = 0.5 * (np.asarray(q) + self.world.goal)
+        q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
+        if not ok:
+            return np.asarray(self.world.goal, float)
+        return q_wp

@@ -223,10 +223,13 @@ def run_trial(
     verbose: bool = False,
     rollout=None,
     oracles=None,
+    hlp=None,
 ) -> TrialSummary:
     """One closed-loop trial on one world (kinova_run_100_worlds.m per-world
     loop).  planner_step = make_planner(robot, cfg) output.  Pass precompiled
-    rollout/oracles when running many trials (they are world-independent)."""
+    rollout/oracles when running many trials (they are world-independent).
+    hlp: optional waypoint generator with .get_waypoint(q) (see hlp.py);
+    defaults to the straight-line HLP like uarmtd_planner.m:53."""
     import time as _time
 
     rollout = rollout if rollout is not None else make_rollout(robot, cfg)
@@ -250,7 +253,10 @@ def run_trial(
         # plan from the REFERENCE state at the end of the last move
         # (uarmtd_planner.m:81 reads agent reference, not measured state)
         q0, qd0, qdd0 = desired_state(ref, cfg.t_plan, cfg)
-        waypoint = straight_line_waypoint(np.asarray(q0), world.goal, lookahead)
+        if hlp is not None:
+            waypoint = hlp.get_waypoint(np.asarray(q0))
+        else:
+            waypoint = straight_line_waypoint(np.asarray(q0), world.goal, lookahead)
         t0 = _time.perf_counter()
         res = planner_step(q0, qd0, qdd0, jnp.asarray(waypoint, dt_ref), obs)
         k = np.asarray(res.k)

@@ -1,0 +1,75 @@
+"""High-level planner layer: straight-line and workspace RRT* waypoints."""
+
+import numpy as np
+import pytest
+
+from armour_tpu.hlp import (EndEffectorRRTStarHLP, StraightLineHLP,
+                            ee_position, ik_damped_ls)
+from armour_tpu.models.kinova import kinova_gen3
+from armour_tpu.worlds import World
+
+
+@pytest.fixture(scope="module")
+def robot():
+    return kinova_gen3()
+
+
+def _world(robot, obs_c, obs_g, start=None, goal=None):
+    return World(
+        start=np.zeros(7) if start is None else start,
+        goal=np.full(7, 0.5) if goal is None else goal,
+        obstacle_centers=np.asarray(obs_c).reshape(-1, 3),
+        obstacle_generators=np.asarray(obs_g).reshape(-1, 3, 3),
+    )
+
+
+def test_ik_reaches_reachable_target(robot):
+    rng = np.random.default_rng(0)
+    q_true = rng.uniform(-0.8, 0.8, 7)
+    target = ee_position(robot, q_true)
+    q, ok = ik_damped_ls(robot, target, q_true + rng.uniform(-0.2, 0.2, 7))
+    assert ok
+    np.testing.assert_allclose(ee_position(robot, q), target, atol=1e-3)
+
+
+def test_straight_line_moves_toward_goal(robot):
+    w = _world(robot, np.zeros((0, 3)), np.zeros((0, 3, 3)))
+    hlp = StraightLineHLP(w, robot, lookahead=0.3)
+    q = np.zeros(7)
+    wp = hlp.get_waypoint(q)
+    d0 = np.linalg.norm(w.goal - q)
+    d1 = np.linalg.norm(w.goal - wp)
+    assert d1 < d0
+    np.testing.assert_allclose(np.linalg.norm(wp - q), 0.3, atol=1e-9)
+
+
+def test_rrt_star_waypoint_avoids_obstacles(robot):
+    # a box sitting between start and goal end-effector positions
+    start = np.zeros(7)
+    goal = np.array([1.2, 0.4, 0.0, 0.4, 0.0, 0.3, 0.0])
+    p0 = ee_position(robot, start)
+    p1 = ee_position(robot, goal)
+    mid = 0.5 * (p0 + p1)
+    w = _world(robot, mid[None], np.diag([0.05, 0.05, 0.05])[None],
+               start=start, goal=goal)
+    hlp = EndEffectorRRTStarHLP(w, robot, lookahead=0.2, max_nodes=300, seed=1)
+    wp = hlp.get_waypoint(start)
+    assert wp.shape == (7,)
+    assert np.all(np.isfinite(wp))
+    # the tree found a path: every waypoint EE position stays outside the
+    # buffered obstacle box
+    path = hlp._path
+    assert path is not None and len(path) >= 2
+    d = np.abs(path - mid[None, :]) - (0.05 + 0.05)
+    assert not np.any(np.all(d < 0, axis=1))
+
+
+def test_rrt_star_ik_failure_falls_back_to_goal(robot):
+    start = np.zeros(7)
+    goal = np.full(7, 0.3)
+    w = _world(robot, np.zeros((0, 3)), np.zeros((0, 3, 3)), start=start, goal=goal)
+    hlp = EndEffectorRRTStarHLP(w, robot, max_nodes=50, seed=2)
+    # force an unreachable path target: overwrite the path with a far point
+    hlp._path = np.array([[5.0, 5.0, 5.0], [6.0, 6.0, 6.0]])
+    wp = hlp.get_waypoint(start)
+    np.testing.assert_allclose(wp, goal)
