@@ -196,7 +196,6 @@ def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
     T, J, O = hyp.dims
     N = T * J * O
     A = hyp.A                                                 # [3, C, N]
-    B = frs.center_coef.shape[-1]
 
     # constant term and per-cell monomial envelope of the link centers
     p0 = jnp.broadcast_to(
@@ -204,15 +203,18 @@ def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
         (3, T, J, O),
     ).reshape(3, 1, N)
     Apc = _dot3(A, p0)                                        # [C, N]
-    # sup_k |sum_a A . coef_m| over non-constant monomials, exactly:
-    # r = sum_b |A0 c0b + A1 c1b + A2 c2b|  (fused reduce over b)
-    coef = jnp.broadcast_to(
-        jnp.moveaxis(frs.center_coef[..., 1:], (2, 3), (0, 1)).reshape(3, B - 1, T, J, 1),
-        (3, B - 1, T, J, O),
-    ).reshape(3, B - 1, N)
-    AC = (A[0][:, None] * coef[0][None] + A[1][:, None] * coef[1][None]
-          + A[2][:, None] * coef[2][None])                    # [C, B-1, N]
-    r = jnp.sum(jnp.abs(AC), axis=1)                          # [C, N]
+    # sup_k |A . (p(k) - p0)| bounded per coordinate first: the exact
+    # directional bound sum_b |A . coef_b| materializes a [C, B-1, N]
+    # intermediate (6 GB at batch 128 — OOMed); the coordinate-box bound
+    # r = sum_a |A_a| * (sum_b |coef_ab|) is at most sqrt(3) looser, needs
+    # only a [3, T*J] envelope, and only loosens WHICH rows are screened in
+    # (the final feasibility check stays exact on all rows).
+    env = jnp.sum(jnp.abs(frs.center_coef[..., 1:]), axis=-1)  # [T, J, 3]
+    env = jnp.broadcast_to(
+        jnp.moveaxis(env, -1, 0).reshape(3, T, J, 1), (3, T, J, O)
+    ).reshape(3, 1, N)
+    r = (jnp.abs(A[0]) * env[0] + jnp.abs(A[1]) * env[1]
+         + jnp.abs(A[2]) * env[2])                            # [C, N]
     ok = jnp.abs(A[0]) + jnp.abs(A[1]) + jnp.abs(A[2]) > 0
     pos_lb = jnp.where(ok, Apc - r - (hyp.d + hyp.delta), -BIG)
     neg_lb = jnp.where(ok, -Apc - r - (-hyp.d + hyp.delta), -BIG)

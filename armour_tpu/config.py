@@ -111,5 +111,13 @@ class ArmourConfig:
     def ds(self) -> float:
         return 1.0 / self.num_time_steps
 
+    @classmethod
+    def for_robot(cls, robot, **overrides) -> "ArmourConfig":
+        """Config with per-factor knobs sized to the robot (the default
+        k_range tuple is for the 7-DOF flagship)."""
+        if "k_range" not in overrides:
+            overrides["k_range"] = tuple([math.pi / 48] * robot.num_factors)
+        return cls(**overrides)
+
 
 DEFAULT_CONFIG = ArmourConfig()

@@ -241,6 +241,6 @@ def torque_frs(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis) ->
         + 0.5 * d_max
         + 0.5 * rho_max[:, None]
         + u_nom_red.rad
-        + jnp.asarray(robot.friction, cfg.dtype)[None, :]
+        + jnp.asarray(robot.friction[: robot.num_factors], cfg.dtype)[None, :]
     )
     return TorqueFRS(u_coef=u_nom_red.coef, torque_radius=torque_radius)

@@ -242,6 +242,10 @@ def build_jrs(q0, qd0, qdd0, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     ds = 1.0 / T
     s_lb = (jnp.arange(T, dtype=dt) * ds)[:, None]        # [T, 1]
     s_ub = s_lb + ds
+    assert len(cfg.k_range) == F, (
+        f"cfg.k_range has {len(cfg.k_range)} entries but the robot has "
+        f"{F} actuated joints; use ArmourConfig.for_robot(robot, ...)"
+    )
     k_range = jnp.asarray(cfg.k_range, dt)                # [F]
 
     # ---- Part 1: q_des -> cos/sin PZs (Trajectory.cu:79-145) ----

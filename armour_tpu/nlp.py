@@ -245,10 +245,15 @@ def max_violations(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
     ub = cfg.ub
     tl = jnp.asarray(robot.torque_limits, dt)
 
-    T = prob.torque.u_coef.shape[0]
-    u = (prob.torque.u_coef.reshape(-1, phi.shape[0]) @ phi).reshape(T, -1)
-    hi = tl[None, :] - prob.torque.torque_radius
-    v_torque = jnp.max(jnp.abs(u) - hi)
+    if cfg.turn_off_input_constraints:
+        # TURN_OFF_INPUT_CONSTRAINTS removes torque rows from the NLP *and*
+        # from the finalize_solution re-check (Parameters.h / NLPclass.cu)
+        v_torque = jnp.asarray(-BIG, dt)
+    else:
+        T = prob.torque.u_coef.shape[0]
+        u = (prob.torque.u_coef.reshape(-1, phi.shape[0]) @ phi).reshape(T, -1)
+        hi = tl[None, :] - prob.torque.torque_radius
+        v_torque = jnp.max(jnp.abs(u) - hi)
 
     p_all = eval_link_polys(prob.frs, phi)
     g_col = collision_constraints(prob.hyp, prob.obs, p_all)

@@ -1,0 +1,70 @@
+"""Extract the multi-robot model zoo from the reference URDFs into a
+self-contained JSON data bundle (armour_tpu/models/zoo_data.json).
+
+Run once at development time; the framework itself only reads the JSON.
+The reference supports these robots through urdfs/ + load_robot_params.m
+(SURVEY.md section 2.2); we extract the same kinematic/inertial data with
+our own parser (armour_tpu/models/urdf.py) and store plain numeric arrays.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from armour_tpu.models.urdf import load_urdf
+
+REF = Path("/root/reference/urdfs")
+
+ZOO = {
+    "kinova_urdf": REF / "kinova_gen3_7dof" / "kinova_arm.urdf",
+    "kinova_dumbbell": REF / "kinova_gen3_7dof" / "kinova_with_dumbbell.urdf",
+    "fetch_arm": REF / "fetch_arm" / "fetch_arm_7DOF.urdf",
+    "kuka_iiwa": REF / "kuka_arm" / "lbr_iiwa7_r800.urdf",
+    "panda": REF / "panda_arm" / "panda_arm.urdf",
+    "ur5": REF / "ur5_arm" / "ur5_robot.urdf",
+}
+
+
+def _read(path: Path) -> str:
+    text = path.read_text()
+    if path.name == "ur5_robot.urdf":
+        # the reference ships the elbow-to-end-effector section commented
+        # out; restore it (one comment block from elbow_joint to ee_link)
+        text = text.replace('<!-- <joint name="elbow_joint"',
+                            '<joint name="elbow_joint"', 1)
+        text = text.replace("</link> -->", "</link>", 1)
+    return text
+
+
+def main():
+    import io
+    out = {}
+    for name, path in ZOO.items():
+        try:
+            robot = load_urdf(io.StringIO(_read(path)), name=name)
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            continue
+        d = {}
+        for field in (
+            "num_joints", "num_factors", "axes", "trans", "rots", "mass",
+            "com", "inertia", "friction", "damping", "armature",
+            "position_limits_lb", "position_limits_ub", "speed_limits",
+            "torque_limits", "gravity", "link_center", "link_generators",
+        ):
+            v = getattr(robot, field)
+            d[field] = v.tolist() if isinstance(v, np.ndarray) else v
+        out[name] = d
+        print(f"ok   {name}: J={robot.num_joints} F={robot.num_factors} "
+              f"mass={robot.mass.sum():.2f}kg")
+    dst = Path(__file__).resolve().parents[1] / "armour_tpu" / "models" / "zoo_data.json"
+    dst.write_text(json.dumps(out, indent=1))
+    print(f"wrote {dst} ({len(out)} robots)")
+
+
+if __name__ == "__main__":
+    main()
