@@ -206,9 +206,11 @@ def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
     # sup_k |A . (p(k) - p0)| bounded per coordinate first: the exact
     # directional bound sum_b |A . coef_b| materializes a [C, B-1, N]
     # intermediate (6 GB at batch 128 — OOMed); the coordinate-box bound
-    # r = sum_a |A_a| * (sum_b |coef_ab|) is at most sqrt(3) looser, needs
-    # only a [3, T*J] envelope, and only loosens WHICH rows are screened in
-    # (the final feasibility check stays exact on all rows).
+    # r = sum_a |A_a| * (sum_b |coef_ab|) is a VALID over-bound but its
+    # tightness vs the exact directional bound is not uniformly bounded
+    # (cancellation across coordinates can make the exact bound arbitrarily
+    # smaller).  That only loosens WHICH rows are screened in; the final
+    # feasibility check stays exact on all rows.
     env = jnp.sum(jnp.abs(frs.center_coef[..., 1:]), axis=-1)  # [T, J, 3]
     env = jnp.broadcast_to(
         jnp.moveaxis(env, -1, 0).reshape(3, T, J, 1), (3, T, J, O)

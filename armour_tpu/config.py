@@ -112,12 +112,68 @@ class ArmourConfig:
         return 1.0 / self.num_time_steps
 
     @classmethod
-    def for_robot(cls, robot, **overrides) -> "ArmourConfig":
+    def for_robot(cls, robot, derive_ub: bool = True, **overrides) -> "ArmourConfig":
         """Config with per-factor knobs sized to the robot (the default
-        k_range tuple is for the 7-DOF flagship)."""
+        k_range tuple is for the 7-DOF flagship).
+
+        By default the UltimateBound mass-matrix eigenvalue constants are
+        re-derived for the robot (the Kinova defaults from
+        KinovaWithoutGripperInfo.h:102-112 under-cover heavier arms like the
+        KUKA; advisor round-1 finding).  Pass derive_ub=False or an explicit
+        ub= override to skip.
+        """
         if "k_range" not in overrides:
             overrides["k_range"] = tuple([math.pi / 48] * robot.num_factors)
+        if derive_ub and "ub" not in overrides:
+            overrides["ub"] = derive_ultimate_bound(robot)
         return cls(**overrides)
+
+
+def derive_ultimate_bound(robot, v_max: float = 1e-2, alpha: float = 10.0,
+                          k_r: float = 5.0, n_samples: int = 256,
+                          seed: int = 0, margin: float = 0.1) -> UltimateBound:
+    """Per-robot UltimateBound: M(q) eigenvalue extremes over the joint-limit
+    box (the reference hardcodes the Kinova's M_min/M_max,
+    KinovaWithoutGripperInfo.h:103-112; kinova_run_100_worlds.m:96).
+
+    Random sampling over-estimates the minimum eigenvalue, so the worst
+    samples are refined by projected gradient descent on lambda_min(M(q))
+    (and ascent for lambda_max).  m_min is further shrunk / m_max grown by
+    `margin`; a smaller m_min only enlarges eps — more conservative
+    tracking-error padding in the JRS."""
+    import jax
+    import numpy as np
+
+    from .rnea_numeric import mass_matrix
+
+    rng = np.random.default_rng(seed)
+    lo = np.maximum(np.asarray(robot.position_limits_lb), -math.pi)
+    hi = np.minimum(np.asarray(robot.position_limits_ub), math.pi)
+    qs = rng.uniform(lo, hi, (n_samples, robot.num_factors))
+
+    def eig_ends(q):
+        e = jnp.linalg.eigvalsh(mass_matrix(robot, q))
+        return e[..., 0], e[..., -1]
+
+    e_lo, e_hi = jax.jit(eig_ends)(jnp.asarray(qs, jnp.float64))
+    e_lo, e_hi = np.asarray(e_lo), np.asarray(e_hi)
+
+    def refine(q0, sign):
+        # projected gradient steps on sign * lambda_end within the box
+        fn = (lambda q: eig_ends(q)[0]) if sign < 0 else (lambda q: -eig_ends(q)[1])
+        grad = jax.jit(jax.vmap(jax.grad(fn)))
+        q = jnp.asarray(q0, jnp.float64)
+        for _ in range(30):
+            q = jnp.clip(q - 0.1 * grad(q), jnp.asarray(lo), jnp.asarray(hi))
+        a, b = jax.vmap(eig_ends)(q)
+        return (np.asarray(a).min() if sign < 0 else np.asarray(b).max())
+
+    worst_lo = qs[np.argsort(e_lo)[:8]]
+    worst_hi = qs[np.argsort(-e_hi)[:8]]
+    m_min = min(float(e_lo.min()), float(refine(worst_lo, -1))) * (1.0 - margin)
+    m_max = max(float(e_hi.max()), float(refine(worst_hi, +1))) * (1.0 + margin)
+    assert m_min > 0.0, "mass matrix must be positive definite"
+    return UltimateBound(alpha=alpha, v_max=v_max, m_max=m_max, m_min=m_min, k_r=k_r)
 
 
 DEFAULT_CONFIG = ArmourConfig()

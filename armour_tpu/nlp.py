@@ -304,10 +304,30 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _stack_thresholds(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
+                      dt) -> jnp.ndarray:
+    """Per-row violation thresholds matching constraint_stack's ordering,
+    used by the best-feasible-iterate proxy check."""
+    F = prob.q_des.shape[-1]
+    parts = []
+    if not cfg.turn_off_input_constraints:
+        T = prob.torque.u_coef.shape[0]
+        parts.append(jnp.full((2 * T * F,), cfg.torque_violation_threshold, dt))
+    K = prob.screened.row.shape[0]
+    parts.append(jnp.full((K,), cfg.collision_violation_threshold, dt))
+    parts.append(jnp.full((8 * F,), 1e-6, dt))
+    return jnp.concatenate(parts)
+
+
 def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
           k0=None) -> SolveResult:
     """Jittable ALM solve.  Returns k (NaN if infeasible, mirroring the
-    reference's braking-fallback contract, armour_main.cu:324-332)."""
+    reference's braking-fallback contract, armour_main.cu:324-332).
+
+    Tracks the best feasible iterate across outer iterations (the
+    reference's "best feasible point under budget" semantics,
+    NLPclass.cu:422-538): an iterate that was feasible at an earlier outer
+    step is kept if the final iterate drifted infeasible or is costlier."""
     dt = prob.q_des.dtype
     F = prob.q_des.shape[-1]
     k = jnp.zeros((F,), dt) if k0 is None else jnp.asarray(k0, dt)
@@ -319,6 +339,7 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     m = c0.shape[0]
     lam = jnp.zeros((m,), dt)
     rho0 = jnp.asarray(10.0, dt)
+    thr = _stack_thresholds(prob, robot, cfg, dt)
 
     def clip_big(c):
         # padded/degenerate constraint rows sit at -BIG; keep them inert
@@ -355,19 +376,35 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
         return k_new
 
     def outer(i, carry):
-        k, lam, rho = carry
+        k, lam, rho, best_k, best_cost = carry
         k = jax.lax.fori_loop(
             0, cfg.solver_inner_iters, lambda j, kk: inner_step(kk, lam, rho), k
         )
         c, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
         c = clip_big(c)
+        # proxy feasibility on the (already computed) stack; the screened
+        # collision subset can miss an active row, so the winner is re-checked
+        # against the FULL constraint set below — soundness is unaffected
+        proxy_feas = jnp.all(c <= thr)
+        cost_k = cost_fn(k)
+        better = proxy_feas & (cost_k < best_cost)
+        best_k = jnp.where(better, k, best_k)
+        best_cost = jnp.where(better, cost_k, best_cost)
         lam = jnp.maximum(lam + rho * c, 0.0)
         rho = jnp.minimum(rho * 2.0, 1e6)
-        return (k, lam, rho)
+        return (k, lam, rho, best_k, best_cost)
 
-    k, lam, rho = jax.lax.fori_loop(0, cfg.solver_outer_iters, outer, (k, lam, rho0))
+    best0 = (k, jnp.asarray(jnp.inf, dt))
+    k, lam, rho, best_k, best_cost = jax.lax.fori_loop(
+        0, cfg.solver_outer_iters, outer, (k, lam, rho0) + best0
+    )
 
-    feasible = is_feasible(k, prob, robot, cfg, basis)
-    cost = cost_fn(k)
-    k_out = jnp.where(feasible, k, jnp.nan)
+    feas_final = is_feasible(k, prob, robot, cfg, basis)
+    feas_best = is_feasible(best_k, prob, robot, cfg, basis) & jnp.isfinite(best_cost)
+    cost_final = cost_fn(k)
+    use_best = feas_best & ((~feas_final) | (best_cost < cost_final))
+    k_sel = jnp.where(use_best, best_k, k)
+    feasible = feas_final | feas_best
+    cost = jnp.where(use_best, best_cost, cost_final)
+    k_out = jnp.where(feasible, k_sel, jnp.nan)
     return SolveResult(k=k_out, feasible=feasible, cost=cost)

@@ -147,7 +147,9 @@ def rnea(robot: RobotModel, q, qd, qd_aux, qdd, *,
         axis = int(robot.axes[i])
         if axis != 0 and i < robot.num_factors:
             ax = abs(axis) - 1
-            tau = n[..., ax]
+            # signed e . n projection — matches the PZ-RNEA (dynamics.py
+            # bwd_body); robots with negative axis codes (KUKA iiwa) flip sign
+            tau = (1.0 if axis > 0 else -1.0) * n[..., ax]
             if include_armature:
                 tau = tau + robot.armature[i] * qdd[..., i]
             if robot.damping[i] != 0.0:

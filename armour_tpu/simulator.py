@@ -115,33 +115,41 @@ def make_rollout(robot: RobotModel, cfg: ArmourConfig, control_dt: float = 1e-3,
 # ---------------------------------------------------------------------------
 
 
-def obb_aabb_separated(center_a, axes_a, half_a, center_b, half_b):
-    """Exact OBB vs AABB separating-axis test, batched.  center_a [..., 3],
-    axes_a [..., 3, 3] (columns = box axes), half_a [..., 3]; B is axis-
-    aligned with center_b [..., 3], half_b [..., 3].  True = disjoint."""
+def obb_obb_separated(center_a, axes_a, half_a, center_b, axes_b, half_b):
+    """Exact OBB vs OBB separating-axis test, batched.  center_* [..., 3],
+    axes_* [..., 3, 3] (COLUMNS = unit box axes), half_* [..., 3].
+    True = disjoint.  15 candidate axes: 3 of A, 3 of B, 9 cross products."""
     d = center_b - center_a
-    # axes of A (3), axes of B (3 = world), cross products (9)
+
+    def _proj(axes, half, L):
+        # half-extent of the box along direction L: sum_i half_i |axis_i . L|
+        return jnp.sum(half * jnp.abs(jnp.einsum("...ai,...a->...i", axes, L)), axis=-1)
+
     seps = []
-    for i in range(3):
-        L = axes_a[..., :, i]
-        ra = half_a[..., i]
-        rb = jnp.sum(half_b * jnp.abs(L), axis=-1)
-        seps.append(jnp.abs(jnp.sum(d * L, axis=-1)) > ra + rb)
-    for i in range(3):
-        L = jnp.zeros_like(d).at[..., i].set(1.0)
-        ra = jnp.sum(half_a * jnp.abs(axes_a[..., i, :]), axis=-1)
-        rb = half_b[..., i]
-        seps.append(jnp.abs(d[..., i]) > ra + rb)
+    cand = [axes_a[..., :, i] for i in range(3)] + [axes_b[..., :, j] for j in range(3)]
     for i in range(3):
         for j in range(3):
-            L = jnp.cross(axes_a[..., :, i], jnp.zeros_like(d).at[..., j].set(1.0))
-            norm = jnp.linalg.norm(L, axis=-1, keepdims=True)
-            Ln = jnp.where(norm > 1e-9, L / jnp.where(norm > 1e-9, norm, 1.0), 0.0)
-            ra = jnp.sum(half_a * jnp.abs(jnp.einsum("...ab,...a->...b", axes_a, Ln)), axis=-1)
-            rb = jnp.sum(half_b * jnp.abs(Ln), axis=-1)
-            valid = norm[..., 0] > 1e-9
-            seps.append(valid & (jnp.abs(jnp.sum(d * Ln, axis=-1)) > ra + rb))
+            cand.append(jnp.cross(axes_a[..., :, i], axes_b[..., :, j]))
+    for L in cand:
+        norm = jnp.linalg.norm(L, axis=-1, keepdims=True)
+        Ln = jnp.where(norm > 1e-9, L / jnp.where(norm > 1e-9, norm, 1.0), 0.0)
+        valid = norm[..., 0] > 1e-9
+        ra = _proj(axes_a, half_a, Ln)
+        rb = _proj(axes_b, half_b, Ln)
+        seps.append(valid & (jnp.abs(jnp.sum(d * Ln, axis=-1)) > ra + rb))
     return jnp.any(jnp.stack(seps, axis=-1), axis=-1)
+
+
+def obstacle_axes_halves(generators):
+    """Unit axes [O, 3, 3] (columns) + half extents [O, 3] of box-zonotope
+    obstacles from their generator matrix (columns = generators).  Handles
+    rotated boxes exactly; degenerate (zero) generators get a default axis so
+    the SAT stays valid (projection radius 0)."""
+    g = jnp.moveaxis(generators, -1, -2)                 # [O, 3(gen), 3(coord)]
+    half = jnp.linalg.norm(g, axis=-1)                   # [O, 3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=generators.dtype), g.shape)
+    axes = jnp.where(half[..., None] > 1e-12, g / jnp.maximum(half[..., None], 1e-12), eye)
+    return jnp.moveaxis(axes, -1, -2), half              # columns = axes
 
 
 def make_oracles(robot: RobotModel, cfg: ArmourConfig):
@@ -157,12 +165,16 @@ def make_oracles(robot: RobotModel, cfg: ArmourConfig):
         u = logs["u"]
         R_w, p_w, centers = forward_kinematics(robot, q)   # [N, J, 3, 3] etc.
         box_c = centers                                     # world box centers
-        obs_half = jax.vmap(jnp.diag)(jnp.abs(obs.generators))  # [O, 3] (diag boxes)
-        sep = obb_aabb_separated(
+        # full OBB axes/halves from the obstacle generator matrix: rotated
+        # boxes are handled exactly (round-1 oracle used diag(|G|), silently
+        # dropping off-diagonal generators)
+        obs_axes, obs_half = obstacle_axes_halves(obs.generators)
+        sep = obb_obb_separated(
             box_c[:, :, None, :],
             R_w[:, :, None, :, :],
             jnp.broadcast_to(link_h[None, :, None, :], box_c[:, :, None, :].shape),
             obs.centers[None, None, :, :],
+            obs_axes[None, None, :, :, :],
             obs_half[None, None, :, :],
         )                                                   # [N, J, O]
         collision = jnp.any(~sep & obs.mask[None, None, :])

@@ -33,10 +33,18 @@ def _read(path: Path) -> str:
     text = path.read_text()
     if path.name == "ur5_robot.urdf":
         # the reference ships the elbow-to-end-effector section commented
-        # out; restore it (one comment block from elbow_joint to ee_link)
-        text = text.replace('<!-- <joint name="elbow_joint"',
-                            '<joint name="elbow_joint"', 1)
-        text = text.replace("</link> -->", "</link>", 1)
+        # out; restore it (one comment block from elbow_joint to ee_link).
+        # Anchor the closing-marker replacement AFTER the opening marker so
+        # an unrelated earlier comment block can never be corrupted.
+        start = text.find('<!-- <joint name="elbow_joint"')
+        assert start >= 0, "expected commented elbow block in ur5_robot.urdf"
+        end = text.find("</link> -->", start)
+        assert end >= 0, "unterminated elbow comment block in ur5_robot.urdf"
+        block = text[start:end + len("</link> -->")]
+        fixed = block.replace('<!-- <joint name="elbow_joint"',
+                              '<joint name="elbow_joint"', 1)
+        fixed = fixed[: -len("</link> -->")] + "</link>"
+        text = text[:start] + fixed + text[end + len("</link> -->"):]
     return text
 
 

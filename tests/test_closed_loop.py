@@ -63,6 +63,40 @@ def test_braking_comes_to_rest():
     np.testing.assert_allclose(np.asarray(qd_end), 0.0, atol=1e-9)
 
 
+def test_oracle_detects_rotated_obstacle_collision():
+    """A rotated box that overlaps a link only through its off-diagonal
+    generators must be flagged (round-1 oracle used diag(|G|) and missed it)."""
+    from armour_tpu.rnea_numeric import forward_kinematics
+
+    oracles = make_oracles(ROBOT, CFG)
+    q = jnp.asarray(Q0, CFG.dtype)
+    _, _, centers = forward_kinematics(ROBOT, q)
+    c_link = np.asarray(centers)[3]  # a mid-chain link center
+
+    # thin slab rotated 45 deg about z, positioned so its ROTATED extent
+    # covers the link but its axis-aligned diag(|G|) box would NOT reach it
+    th = np.pi / 4
+    R = np.array([[np.cos(th), -np.sin(th), 0.0],
+                  [np.sin(th), np.cos(th), 0.0],
+                  [0.0, 0.0, 1.0]])
+    G = R @ np.diag([0.4, 0.01, 0.01])
+    center = c_link + R @ np.array([0.35, 0.0, 0.0])  # along the long axis
+    obs = pad_obstacles(center[None], G[None], CFG.max_obstacles, CFG.dtype)
+
+    logs = {
+        "q": q[None, :], "qd": jnp.zeros((1, 7), CFG.dtype),
+        "u": jnp.zeros((1, 7), CFG.dtype),
+        "q_des": q[None, :], "qd_des": jnp.zeros((1, 7), CFG.dtype),
+    }
+    checks = oracles(logs, obs)
+    assert bool(checks["collision"]), "rotated-box overlap must be detected"
+
+    # sanity: the same slab moved far away is not a collision
+    obs_far = pad_obstacles((center + 5.0)[None], G[None], CFG.max_obstacles, CFG.dtype)
+    checks_far = oracles(logs, obs_far)
+    assert not bool(checks_far["collision"])
+
+
 def test_trial_reaches_easy_goal():
     world = World(
         start=Q0,
