@@ -78,7 +78,13 @@ class ArmourConfig:
     max_poly_degree: int = 3           # total degree cap of tracked k-monomials
     # outward slop added to independent radii at every bilinear op to cover
     # non-directed floating point rounding (SURVEY.md section 7); relative.
-    float_slop: float = 0.0
+    # Measured (scripts/f32_bands_worker.py, 128 Monte-Carlo samples of the
+    # f32 JRS/FK/RNEA pipeline vs f64 ground truth): worst containment MARGIN
+    # at slop=0 is 6.6e-2 m (FK) / 5.4 N*m (torque) — i.e. the Taylor +
+    # interval radii already dwarf f32 rounding by ~3 orders of magnitude.
+    # 1e-6 (~8x f32 eps per bilinear op) is kept on as insurance; it changes
+    # the bands by < 1e-4 relative.  CI: tests/test_f32_soundness.py.
+    float_slop: float = 1e-6
 
     # --- obstacles (Parameters.h:26-29) ---
     max_obstacles: int = 40
