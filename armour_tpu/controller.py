@@ -96,3 +96,51 @@ def nominal_passivity_control(robot: RobotModel, cfg: ArmourConfig,
     qd_ref = qd_des + ub.k_r * (q_des - q)
     qdd_ref = qdd_des + ub.k_r * (qd_des - qd)
     return rnea(robot, q, qd, qd_ref, qdd_ref)
+
+
+@dataclasses.dataclass(frozen=True)
+class AlthoffGains:
+    """PI-adaptive gains of the Giusti–Althoff comparison controller
+    (uarmtd_robust_CBF_LLC.m:11-13 defaults)."""
+
+    kp: tuple = (28.1037, 28.1037)
+    ki: tuple = (4.0, 4.0)
+    max_error: float = 1e-5
+
+
+ALTHOFF_DEFAULT = AlthoffGains()
+
+
+def althoff_control(robot: RobotModel, cfg: ArmourConfig, q, qd,
+                    q_des, qd_des, qdd_des, e_acc, dt,
+                    gains: AlthoffGains = ALTHOFF_DEFAULT):
+    """Giusti–Althoff PI-adaptive robust comparison controller
+    (robust_controller.cpp:112-128, method "Ultimate Robust Performance
+    Control of Rigid Robot Manipulators using Interval Arithmetic"):
+
+        phi(t)   = Kp[0] + Ki[0] * E(t)
+        kappa(t) = Kp[1] + Ki[1] * E(t)
+        u        = tau_nominal + (kappa(t) ||bound|| + phi(t)) r
+
+    where bound is the per-joint interval-disturbance sup and E(t)
+    accumulates the tracking-error norm while it exceeds max_error.
+    Returns (u, tau, v, e_acc_new); thread e_acc through the rollout."""
+    ub = cfg.ub
+    err = q_des - q
+    derr = qd_des - qd
+    qd_ref = qd_des + ub.k_r * err
+    qdd_ref = qdd_des + ub.k_r * derr
+    r = derr + ub.k_r * err
+
+    tau = rnea(robot, q, qd, qd_ref, qdd_ref)
+    pert = _perturbation_taus(robot, q, qd, qd_ref, qdd_ref)       # [2J, F]
+    bound = jnp.sum(jnp.abs(pert), axis=0)                         # [F]
+    bound_norm = jnp.linalg.norm(bound)
+
+    state_err = jnp.sqrt(jnp.sum(err * err) + jnp.sum(derr * derr))
+    e_acc_new = e_acc + jnp.where(state_err > gains.max_error,
+                                  state_err * dt, 0.0)
+    phi_t = gains.kp[0] + gains.ki[0] * e_acc_new
+    kappa_t = gains.kp[1] + gains.ki[1] * e_acc_new
+    v = (kappa_t * bound_norm + phi_t) * r
+    return tau + v, tau, v, e_acc_new

@@ -63,32 +63,66 @@ def _col(p: BPZ, j: int) -> BPZ:
     return BPZ(coef=p.coef[..., j, :], egen=p.egen[..., j, :], rad=p.rad[..., j])
 
 
-def _inertial_pzs(robot: RobotModel, basis: KBasis, dtype, uncertain: bool):
-    """Mass and inertia PZs (Dynamics.cu:30-41)."""
+def _inertial_pzs(robot: RobotModel, basis: KBasis, dtype, sets):
+    """Stacked mass, inertia and COM PZs over parameter sets [J, P, ...]
+    (Dynamics.cu:30-41; COM interval per urdf_utils/get_inertial_params.m:212
+    — the whole COM vector scaled by a multiplicative range com*(1+-delta)).
+
+    sets: tuple of "nom" / "int" — P = len(sets) parameter variants that are
+    pushed through ONE shared kinematic recursion (the reference runs the
+    entire RNEA twice, armour_main.cu:128-136; the forward kinematic pass is
+    mass-independent so sharing it is exact)."""
     mass = jnp.asarray(robot.mass, dtype)
     inertia = jnp.asarray(robot.inertia, dtype)
-    mrad = robot.mass_uncertainty * jnp.abs(mass) if uncertain else jnp.zeros_like(mass)
-    irad = (
-        robot.inertia_uncertainty * jnp.abs(inertia)
-        if uncertain
-        else jnp.zeros_like(inertia)
-    )
-    mass_pz = bpz.from_interval(mass, mrad, basis)          # [J]
-    inertia_pz = bpz.from_interval(inertia, irad, basis)    # [J, 3, 3]
-    return mass_pz, inertia_pz
+    com = jnp.asarray(robot.com, dtype)
+    z = 0.0
+    mrads = jnp.stack([
+        robot.mass_uncertainty * jnp.abs(mass) if s == "int" else jnp.zeros_like(mass)
+        for s in sets], axis=1)                                       # [J, P]
+    irads = jnp.stack([
+        robot.inertia_uncertainty * jnp.abs(inertia) if s == "int"
+        else jnp.zeros_like(inertia) for s in sets], axis=1)          # [J, P, 3, 3]
+    crads = jnp.stack([
+        robot.com_uncertainty * jnp.abs(com) if (s == "int" and robot.com_uncertainty)
+        else jnp.zeros_like(com) for s in sets], axis=1)              # [J, P, 3]
+    P = len(sets)
+    mass_pz = bpz.from_interval(
+        jnp.broadcast_to(mass[:, None], (mass.shape[0], P)), mrads, basis)
+    inertia_pz = bpz.from_interval(
+        jnp.broadcast_to(inertia[:, None], (inertia.shape[0], P, 3, 3)), irads, basis)
+    com_pz = bpz.from_interval(
+        jnp.broadcast_to(com[:, None], (com.shape[0], P, 3)), crads, basis)
+    return mass_pz, inertia_pz, com_pz
 
 
 def rnea_pz(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
             uncertain: bool, set_gravity: bool = True) -> BPZ:
     """PZ RNEA torque u [T, F] (Dynamics.cu:83-181)."""
+    u = rnea_pz_sets(jrs, robot, cfg, basis,
+                     sets=("int" if uncertain else "nom",),
+                     set_gravity=set_gravity)
+    return BPZ(coef=u.coef[0], egen=u.egen[0], rad=u.rad[0])
+
+
+def rnea_pz_sets(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
+                 sets=("nom", "int"), set_gravity: bool = True,
+                 wrench_at: int | None = None):
+    """PZ RNEA torque u [P, T, F] over P parameter sets sharing one kinematic
+    forward pass (Dynamics.cu:83-181; armour_main.cu:128-136 runs nominal and
+    interval back-to-back — the w/w_aux/wdot/lin_acc recursion is identical
+    in both, so evaluating it once is exact and ~40% cheaper)."""
     dt = cfg.dtype
     T = cfg.num_time_steps
     J = robot.num_joints
     F = robot.num_factors
+    P = len(sets)
     slop = cfg.float_slop
     trans = jnp.asarray(robot.trans, dt)         # [J+1, 3]
     com = jnp.asarray(robot.com, dt)             # [J, 3]
-    mass_pz, inertia_pz = _inertial_pzs(robot, basis, dt, uncertain)
+    mass_pz, inertia_pz, com_pz = _inertial_pzs(robot, basis, dt, sets)
+    # COM uncertainty path is only traced when enabled (the Kinova flagship
+    # and the reference's benchmarks run with com_range=[1,1], i.e. off)
+    com_uncertain = bool(robot.com_uncertainty and any(s == "int" for s in sets))
 
     # one-hot motion axes + revolute mask (axes[i] != 0 and i < F)
     e_axis = jnp.zeros((J, 3), dt)
@@ -125,7 +159,7 @@ def rnea_pz(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
 
     def fwd_body(carry, inp):
         w, w_aux, wdot, lin_acc = carry
-        rt, qd_i, qda_i, qdda_i, m_i, I_i, trans_i, com_i, e_i, rev_i = inp
+        rt, qd_i, qda_i, qdda_i, m_i, I_i, com_pz_i, trans_i, com_i, e_i, rev_i = inp
 
         acc_arg = bpz.add(
             lin_acc,
@@ -145,24 +179,39 @@ def rnea_pz(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
         wdot = bpz.add(wdot, _embed(bpz.scale(qdda_i, rev_i), e_i))
         w_aux = bpz.add(w_aux, _embed(bpz.scale(qda_i, rev_i), e_i))
 
-        # link force / moment (Dynamics.cu lines 23-29)
-        f_arg = bpz.add(
-            lin_acc,
-            bpz.add(
-                bpz.cross_pz_const(wdot, com_i),
-                bpz.cross(w, bpz.cross_pz_const(w_aux, com_i), basis, slop),
-            ),
-        )
-        m_b = BPZ(coef=m_i.coef[None, None, :], egen=m_i.egen[None, None, :],
-                  rad=m_i.rad[None, None])
+        # link force / moment (Dynamics.cu lines 23-29); the P parameter-set
+        # axis rides as a leading broadcast dim: kinematics [T, 3] x params
+        # [P, 1, 1] -> F_i/N_i [P, T, 3]
+        if com_uncertain:
+            # com_pz_i [P, 3] -> [P, 1, 3] to broadcast against [T, 3]
+            com_b = BPZ(coef=com_pz_i.coef[:, None], egen=com_pz_i.egen[:, None],
+                        rad=com_pz_i.rad[:, None])
+            f_arg = bpz.add(
+                lin_acc,
+                bpz.add(
+                    bpz.cross(wdot, com_b, basis, slop),
+                    bpz.cross(w, bpz.cross(w_aux, com_b, basis, slop), basis, slop),
+                ),
+            )
+        else:
+            f_arg = bpz.add(
+                lin_acc,
+                bpz.add(
+                    bpz.cross_pz_const(wdot, com_i),
+                    bpz.cross(w, bpz.cross_pz_const(w_aux, com_i), basis, slop),
+                ),
+            )
+        # m_i [P] -> [P, 1, 1]; I_i [P, 3, 3] -> [P, 1, 3, 3]
+        m_b = BPZ(coef=m_i.coef[:, None, None, :], egen=m_i.egen[:, None, None, :],
+                  rad=m_i.rad[:, None, None])
         F_i = bpz.mul(m_b, f_arg, basis, slop)
-        I_b = BPZ(coef=I_i.coef[None], egen=I_i.egen[None], rad=I_i.rad[None])
+        I_b = BPZ(coef=I_i.coef[:, None], egen=I_i.egen[:, None], rad=I_i.rad[:, None])
         Iw = bpz.matmul(I_b, _col_stack([wdot, w]), basis, slop)
         N_i = bpz.add(_col(Iw, 0), bpz.cross(w_aux, _col(Iw, 1), basis, slop))
         return (w, w_aux, wdot, lin_acc), (F_i, N_i)
 
     fwd_inputs = (
-        Rt_j, qd_j, qda_j, qdda_j, mass_pz, inertia_pz,
+        Rt_j, qd_j, qda_j, qdda_j, mass_pz, inertia_pz, com_pz,
         trans[:J], com, e_axis, rev,
     )
     _, (F_all, N_all) = jax.lax.scan(fwd_body, (w0, w0, w0, lin0), fwd_inputs)
@@ -170,38 +219,55 @@ def rnea_pz(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
     # backward recursion (Dynamics.cu:160-181), scanned in reverse
     def bwd_body(carry, inp):
         f, n = carry
-        r_ip1, F_i, N_i, qd_i, qdda_i, trans_ip1, com_i, e_i, rev_i, arm_i, damp_i = inp
+        (r_ip1, F_i, N_i, qd_i, qdda_i, com_pz_i, trans_ip1, com_i, e_i, rev_i,
+         arm_i, damp_i) = inp
         rot = bpz.matmul(r_ip1, _col_stack([f, n]), basis, slop)
         rf, rn = _col(rot, 0), _col(rot, 1)
+        if com_uncertain:
+            com_b = BPZ(coef=com_pz_i.coef[:, None], egen=com_pz_i.egen[:, None],
+                        rad=com_pz_i.rad[:, None])
+            com_cross_F = bpz.cross(com_b, F_i, basis, slop)
+        else:
+            com_cross_F = bpz.cross_const(com_i, F_i)
         n_new = bpz.add(
             bpz.add(N_i, rn),
-            bpz.add(bpz.cross_const(com_i, F_i), bpz.cross_const(trans_ip1, rf)),
+            bpz.add(com_cross_F, bpz.cross_const(trans_ip1, rf)),
         )
         f_new = bpz.add(rf, F_i)
         u_axis = BPZ(
-            coef=jnp.einsum("a,tam->tm", e_i, n_new.coef),
-            egen=jnp.einsum("a,tam->tm", e_i, n_new.egen),
-            rad=jnp.einsum("a,ta->t", jnp.abs(e_i), n_new.rad),
+            coef=jnp.einsum("a,...am->...m", e_i, n_new.coef),
+            egen=jnp.einsum("a,...am->...m", e_i, n_new.egen),
+            rad=jnp.einsum("a,...a->...", jnp.abs(e_i), n_new.rad),
         )
         u_i = bpz.add(u_axis, bpz.scale(qdda_i, arm_i * rev_i))
         u_i = bpz.add(u_i, bpz.scale(qd_i, damp_i * rev_i))
-        return (f_new, n_new), u_i
+        return (f_new, n_new), (u_i, f_new, n_new)
 
     R_ip1 = BPZ(coef=R_j.coef[1:], egen=R_j.egen[1:], rad=R_j.rad[1:])
     bwd_inputs = (
-        R_ip1, F_all, N_all, qd_j, qdda_j, trans[1:],
+        R_ip1, F_all, N_all, qd_j, qdda_j, com_pz, trans[1:],
         com, e_axis, rev, jnp.asarray(robot.armature, dt), jnp.asarray(robot.damping, dt),
     )
-    (_, _), u_all = jax.lax.scan(
-        bwd_body, (bpz.zeros((T, 3), basis, dt), bpz.zeros((T, 3), basis, dt)),
+    (_, _), (u_all, f_all, n_all) = jax.lax.scan(
+        bwd_body,
+        (bpz.zeros((P, T, 3), basis, dt), bpz.zeros((P, T, 3), basis, dt)),
         bwd_inputs, reverse=True,
     )
-    # u_all is [J, T]; keep the actuated prefix as [T, F]
-    return BPZ(
-        coef=jnp.moveaxis(u_all.coef[:F], 0, 1),
-        egen=jnp.moveaxis(u_all.egen[:F], 0, 1),
-        rad=jnp.moveaxis(u_all.rad[:F], 0, 1),
+    # u_all is [J, P, T]; keep the actuated prefix as [P, T, F]
+    u = BPZ(
+        coef=jnp.moveaxis(u_all.coef[:F], 0, 2),
+        egen=jnp.moveaxis(u_all.egen[:F], 0, 2),
+        rad=jnp.moveaxis(u_all.rad[:F], 0, 2),
     )
+    if wrench_at is None:
+        return u
+    # joint wrench (f, n) at a chain index [P, T, 3] — the contact wrench
+    # when that joint attaches a grasped payload (Dynamics_sav.cu:17-20,
+    # 891-896 f_c/n_c semantics: the wrench transmitted to body `wrench_at`)
+    j = wrench_at
+    f_c = BPZ(coef=f_all.coef[j], egen=f_all.egen[j], rad=f_all.rad[j])
+    n_c = BPZ(coef=n_all.coef[j], egen=n_all.egen[j], rad=n_all.rad[j])
+    return u, f_c, n_c
 
 
 @dataclasses.dataclass
@@ -220,8 +286,9 @@ jax.tree_util.register_dataclass(
 
 def torque_frs(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis) -> TorqueFRS:
     """Nominal torque PZ + robust input radius (armour_main.cu:128-210)."""
-    u_nom = rnea_pz(jrs, robot, cfg, basis, uncertain=False)
-    u_int = rnea_pz(jrs, robot, cfg, basis, uncertain=True)
+    u_both = rnea_pz_sets(jrs, robot, cfg, basis, sets=("nom", "int"))
+    u_nom = BPZ(coef=u_both.coef[0], egen=u_both.egen[0], rad=u_both.rad[0])
+    u_int = BPZ(coef=u_both.coef[1], egen=u_both.egen[1], rad=u_both.rad[1])
     disturbance = bpz.sub(u_int, u_nom)
 
     # interval hull of the disturbance per (T, F)

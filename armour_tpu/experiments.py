@@ -129,6 +129,76 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
     return results
 
 
+def robust_controller_sweep(robot: RobotModel, cfg: ArmourConfig,
+                            uncertainties: Sequence[float] = (0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3),
+                            controllers: Sequence[str] = ("robust", "althoff", "nominal"),
+                            n_samples: int = 32, seed: int = 0,
+                            results_path: Optional[str] = None) -> dict:
+    """Tracking-error / robust-input sweep over model uncertainty
+    (kinova_compare_robust_controller.m:18-35): for each uncertainty level,
+    track a randomized reference (start offset from the reference anchor by
+    0.025*pi in position and 0.05*pi in velocity, lines 80-86) with each
+    controller and record max tracking error and mean |input|.
+
+    The reference loops 100 MATLAB ode15s sims per level; here the samples
+    are one vmapped rollout per (level, controller)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from .simulator import make_rollout
+    from .simulator import TrueParams
+    from .trajectory import advance_plan, initial_plan
+
+    rng = np.random.default_rng(seed)
+    F = robot.num_factors
+    out = {"uncertainties": list(uncertainties), "n_samples": n_samples,
+           "controllers": {c: {"max_pos_err": [], "max_vel_err": [],
+                               "mean_abs_u": []} for c in controllers}}
+
+    # randomized anchor states and start offsets (same for every level)
+    q_anchor = rng.uniform(-np.pi / 2, np.pi / 2, (n_samples, F))
+    qd_anchor = rng.uniform(-0.3, 0.3, (n_samples, F))
+    dq = rng.normal(size=(n_samples, F))
+    dq = 0.025 * np.pi * dq / np.linalg.norm(dq, axis=1, keepdims=True)
+    dqd = rng.normal(size=(n_samples, F))
+    dqd = 0.05 * np.pi * dqd / np.linalg.norm(dqd, axis=1, keepdims=True)
+    ks = rng.uniform(-1, 1, (n_samples, F))
+
+    for u in uncertainties:
+        robot_u = _dc.replace(robot, mass_uncertainty=u, inertia_uncertainty=u)
+        # worst-case true params at this uncertainty level
+        mass = jnp.asarray(np.broadcast_to(robot.mass * (1.0 + u), (n_samples, robot.num_joints)))
+        inertia = jnp.asarray(np.broadcast_to(
+            robot.inertia * (1.0 + u), (n_samples, robot.num_joints, 3, 3)))
+        com = jnp.asarray(np.broadcast_to(robot.com, (n_samples, robot.num_joints, 3)))
+        tp = TrueParams(mass=mass, inertia=inertia, com=com)
+
+        refs = jax.vmap(lambda qa, qda, k: advance_plan(
+            initial_plan(qa, cfg.dtype), k, qa, qda, jnp.zeros_like(qa), cfg))(
+            jnp.asarray(q_anchor, cfg.dtype), jnp.asarray(qd_anchor, cfg.dtype),
+            jnp.asarray(ks, cfg.dtype))
+        q0 = jnp.asarray(q_anchor + dq, cfg.dtype)
+        qd0 = jnp.asarray(qd_anchor + dqd, cfg.dtype)
+
+        for ctrl in controllers:
+            roll = jax.jit(jax.vmap(make_rollout(robot_u, cfg, controller=ctrl)))
+            _, _, logs = roll(q0, qd0, refs, tp)
+            pos_err = np.max(np.abs(np.asarray(logs["q"]) - np.asarray(logs["q_des"])))
+            vel_err = np.max(np.abs(np.asarray(logs["qd"]) - np.asarray(logs["qd_des"])))
+            mean_u = float(np.mean(np.abs(np.asarray(logs["u"]))))
+            rec = out["controllers"][ctrl]
+            rec["max_pos_err"].append(float(pos_err))
+            rec["max_vel_err"].append(float(vel_err))
+            rec["mean_abs_u"].append(mean_u)
+
+    if results_path:
+        with open(results_path, "w") as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
 def summarize(results: Sequence[SuiteResult]) -> dict:
     """kinova_test_summary.m:34-66 buckets."""
     buckets = {

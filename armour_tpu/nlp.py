@@ -345,31 +345,36 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
         # padded/degenerate constraint rows sit at -BIG; keep them inert
         return jnp.maximum(c, -1e6)
 
+    # the cost is quadratic in k up to the (piecewise-constant) wrap shift,
+    # so its Hessian is constant — hoist it out of the inner loop
+    Hc = jax.hessian(cost_fn)(k)
+
+    def penalty(cc, lam, rho):
+        return jnp.sum(jnp.where(lam + rho * cc > 0, (lam + rho * cc) ** 2, 0.0)) / (2 * rho)
+
     def inner_step(k, lam, rho):
+        # ONE constraint-stack pass yields c, Jc AND the current merit m0
+        # (the reference re-slices everything per Ipopt iteration too,
+        # NLPclass.cu:304-315; round-1 did 5 stack passes per inner step)
         c, Jc = constraint_stack(k, prob, robot, cfg, basis, with_grad=True)
         c = clip_big(c)
         act = (lam + rho * c) > 0.0                       # active set
         w = jnp.where(act, rho, 0.0)
         lam_eff = jnp.where(act, lam + rho * c, 0.0)
         g = cost_grad(k) + Jc.T @ lam_eff                 # [F]
-        H = (Jc.T * w) @ Jc + 1e-3 * jnp.eye(F, dtype=dt)
-        # Gauss-Newton on the cost: quadratic => exact Hessian is cheap
-        Hc = jax.hessian(cost_fn)(k)
-        H = H + Hc + 1e-6 * jnp.eye(F, dtype=dt)
-        step = jnp.linalg.solve(H, g)
+        H = (Jc.T * w) @ Jc + Hc + 1e-3 * jnp.eye(F, dtype=dt)
+        # H is SPD (Gauss-Newton + PSD cost Hessian + regularizer)
+        chol = jax.scipy.linalg.cho_factor(H)
+        step = jax.scipy.linalg.cho_solve(chol, g)
 
-        def merit(kk):
-            cc = clip_big(constraint_stack(kk, prob, robot, cfg, basis, with_grad=False)[0])
-            pen = jnp.sum(jnp.where(lam + rho * cc > 0, (lam + rho * cc) ** 2, 0.0)) / (2 * rho)
-            return cost_fn(kk) + pen
-
-        m0 = merit(k)
+        m0 = cost_fn(k) + penalty(c, lam, rho)
 
         def try_alpha(alpha):
             kk = jnp.clip(k - alpha * step, -1.0, 1.0)
-            return kk, merit(kk)
+            cc = clip_big(constraint_stack(kk, prob, robot, cfg, basis, with_grad=False)[0])
+            return kk, cost_fn(kk) + penalty(cc, lam, rho)
 
-        alphas = jnp.asarray([1.0, 0.3, 0.05], dt)
+        alphas = jnp.asarray([1.0, 0.2], dt)
         kks, merits = jax.vmap(try_alpha)(alphas)
         best = jnp.argmin(merits)
         k_new = jnp.where(merits[best] < m0, kks[best], k)

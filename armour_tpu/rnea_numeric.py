@@ -78,11 +78,15 @@ def forward_kinematics(robot: RobotModel, q):
 
 def rnea(robot: RobotModel, q, qd, qd_aux, qdd, *,
          mass=None, com=None, inertia=None,
-         set_gravity: bool = True, include_armature: bool = True):
+         set_gravity: bool = True, include_armature: bool = True,
+         wrench_at=None):
     """Passivity-form RNEA torque [..., F] (Dynamics.cu:83-181 semantics).
 
     mass/com/inertia default to the robot's nominal values; pass perturbed
     arrays for true-parameter or interval-sample evaluations.
+    wrench_at: optional chain index — also return the backward-recursion
+    joint wrench (f, n) at that body (contact wrench ground truth for
+    grasp.py; Dynamics_sav.cu f_c/n_c).
     """
     dt = q.dtype
     J = robot.num_joints
@@ -130,6 +134,7 @@ def rnea(robot: RobotModel, q, qd, qd_aux, qdd, *,
     f = jnp.zeros(batch + (3,), dt)
     n = jnp.zeros(batch + (3,), dt)
     taus = [None] * robot.num_factors
+    wrench = None
     for i in reversed(range(J)):
         if i + 1 < J:
             R_ip1 = Rs[..., i + 1, :, :]
@@ -144,6 +149,8 @@ def rnea(robot: RobotModel, q, qd, qd_aux, qdd, *,
             + jnp.cross(jnp.broadcast_to(trans[i + 1], batch + (3,)), rf)
         )
         f = rf + Fs[i]
+        if wrench_at is not None and i == wrench_at:
+            wrench = (f, n)
         axis = int(robot.axes[i])
         if axis != 0 and i < robot.num_factors:
             ax = abs(axis) - 1
@@ -155,7 +162,10 @@ def rnea(robot: RobotModel, q, qd, qd_aux, qdd, *,
             if robot.damping[i] != 0.0:
                 tau = tau + robot.damping[i] * qd[..., i]
             taus[i] = tau
-    return jnp.stack(taus, axis=-1)
+    out = jnp.stack(taus, axis=-1)
+    if wrench_at is not None:
+        return out, wrench[0], wrench[1]
+    return out
 
 
 def mass_matrix(robot: RobotModel, q, *, mass=None, com=None, inertia=None,

@@ -28,7 +28,8 @@ import numpy as np
 
 from .collision import ObstacleSet
 from .config import ArmourConfig
-from .controller import robust_control
+from .controller import (althoff_control, nominal_passivity_control,
+                         robust_control)
 from .rnea_numeric import coriolis_gravity, forward_kinematics, mass_matrix
 from .robot import RobotModel
 from .trajectory import PlanRef, advance_plan, desired_state, initial_plan
@@ -41,47 +42,100 @@ class TrueParams:
 
     mass: jnp.ndarray     # [J]
     inertia: jnp.ndarray  # [J, 3, 3]
+    com: jnp.ndarray      # [J, 3]
 
 
-jax.tree_util.register_dataclass(TrueParams, data_fields=["mass", "inertia"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    TrueParams, data_fields=["mass", "inertia", "com"], meta_fields=[])
 
 
 def sample_true_params(robot: RobotModel, rng: np.random.Generator,
                        scale: Optional[float] = None) -> TrueParams:
     """Random (or worst-case if scale given) true params within +-uncertainty
-    (load_robot_params.m uncertain_mass_range semantics)."""
+    (load_robot_params.m uncertain_mass_range semantics; COM scaled by one
+    factor per link like get_inertial_params.m:212)."""
     if scale is None:
         sm = rng.uniform(-1, 1, robot.num_joints)
         si = rng.uniform(-1, 1, robot.num_joints)
+        sc = rng.uniform(-1, 1, robot.num_joints)
     else:
         sm = np.full(robot.num_joints, scale)
         si = np.full(robot.num_joints, scale)
+        sc = np.full(robot.num_joints, scale)
     mass = robot.mass * (1.0 + robot.mass_uncertainty * sm)
     inertia = robot.inertia * (1.0 + robot.inertia_uncertainty * si)[:, None, None]
-    return TrueParams(mass=jnp.asarray(mass), inertia=jnp.asarray(inertia))
+    com = robot.com * (1.0 + robot.com_uncertainty * sc)[:, None]
+    return TrueParams(mass=jnp.asarray(mass), inertia=jnp.asarray(inertia),
+                      com=jnp.asarray(com))
 
 
 def make_rollout(robot: RobotModel, cfg: ArmourConfig, control_dt: float = 1e-3,
-                 substeps: int = 2):
-    """Compile the tracking rollout: integrate the true plant under the robust
-    CBF controller for t_move seconds.  Returns states + logs for oracles."""
+                 substeps: int = 2, controller: str = "robust",
+                 measurement_noise: float = 0.0, noise_seed: int = 0,
+                 move_mode: str = "integrate"):
+    """Compile the tracking rollout: integrate the true plant under the
+    low-level controller for t_move seconds.  Returns states + logs for
+    oracles.
+
+    controller: "robust" (CBF, default), "nominal" (passivity ablation,
+    uarmtd_nominal_passivity_LLC.m) or "althoff" (PI-adaptive comparison,
+    robust_controller.cpp:112-128).
+    measurement_noise: stddev of white noise added to the state the
+    controller MEASURES (plant integrates the true state;
+    uarmtd_agent.m:300-312 uses 1e-4).
+    move_mode: "integrate" (full ODE, default) or "direct" — the agent
+    teleports along the reference with zero input
+    (uarmtd_agent.m:468-477; fast planner-only regression mode)."""
 
     n_ctrl = int(round(cfg.t_plan / control_dt))
 
+    if move_mode == "direct":
+
+        @jax.jit
+        def rollout_direct(q, qd, ref: PlanRef, tp: TrueParams):
+            def step(carry, i):
+                t = (i + 1) * control_dt
+                q_des, qd_des, _ = desired_state(ref, t, cfg)
+                log = {"q": q_des, "qd": qd_des, "u": jnp.zeros_like(q_des),
+                       "q_des": q_des, "qd_des": qd_des}
+                return carry, log
+
+            _, logs = jax.lax.scan(step, None, jnp.arange(n_ctrl))
+            qf, qdf, _ = desired_state(ref, cfg.t_plan, cfg)
+            return qf, qdf, logs
+
+        return rollout_direct
+
+    assert move_mode == "integrate", move_mode
+
     def step(carry, i):
-        q, qd, ref, tp = carry
+        q, qd, ref, tp, e_acc, key = carry
         t = i * control_dt
         q_des, qd_des, qdd_des = desired_state(ref, t, cfg)
-        u, tau, v = robust_control(robot, cfg, q, qd, q_des, qd_des, qdd_des)
+        q_m, qd_m = q, qd
+        if measurement_noise:
+            key, k1, k2 = jax.random.split(key, 3)
+            q_m = q + measurement_noise * jax.random.normal(k1, q.shape, q.dtype)
+            qd_m = qd + measurement_noise * jax.random.normal(k2, qd.shape, qd.dtype)
+        if controller == "robust":
+            u, tau, v = robust_control(robot, cfg, q_m, qd_m, q_des, qd_des, qdd_des)
+        elif controller == "nominal":
+            u = nominal_passivity_control(robot, cfg, q_m, qd_m, q_des, qd_des, qdd_des)
+        elif controller == "althoff":
+            u, tau, v, e_acc = althoff_control(
+                robot, cfg, q_m, qd_m, q_des, qd_des, qdd_des, e_acc, control_dt)
+        else:
+            raise ValueError(controller)
 
         # M(q) varies slowly; evaluate once per 1 ms control step (the bias
         # term is re-evaluated at every RK4 stage)
-        M = mass_matrix(robot, q, mass=tp.mass, inertia=tp.inertia)
+        M = mass_matrix(robot, q, mass=tp.mass, inertia=tp.inertia, com=tp.com)
         M_inv = jnp.linalg.inv(M)
 
         def ode(state):
             qq, qqd = state
-            bias = coriolis_gravity(robot, qq, qqd, mass=tp.mass, inertia=tp.inertia)
+            bias = coriolis_gravity(robot, qq, qqd, mass=tp.mass,
+                                    inertia=tp.inertia, com=tp.com)
             qdd = M_inv @ (u - bias)
             return qqd, qdd
 
@@ -98,12 +152,14 @@ def make_rollout(robot: RobotModel, cfg: ArmourConfig, control_dt: float = 1e-3,
             "q": q, "qd": qd, "u": u,
             "q_des": q_des, "qd_des": qd_des,
         }
-        return (q, qd, ref, tp), log
+        return (q, qd, ref, tp, e_acc, key), log
 
     @jax.jit
     def rollout(q, qd, ref: PlanRef, tp: TrueParams):
-        (q, qd, _, _), logs = jax.lax.scan(
-            lambda c, i: step(c, i), (q, qd, ref, tp), jnp.arange(n_ctrl)
+        key = jax.random.PRNGKey(noise_seed)
+        e_acc = jnp.zeros((), q.dtype)
+        (q, qd, _, _, _, _), logs = jax.lax.scan(
+            lambda c, i: step(c, i), (q, qd, ref, tp, e_acc, key), jnp.arange(n_ctrl)
         )
         return q, qd, logs
 

@@ -63,6 +63,50 @@ def test_braking_comes_to_rest():
     np.testing.assert_allclose(np.asarray(qd_end), 0.0, atol=1e-9)
 
 
+def test_direct_move_mode_executes_reference_exactly():
+    """'direct' mode teleports the agent along the reference with zero input
+    (uarmtd_agent.m:468-477) — the fast planner-only regression trick."""
+    rollout = make_rollout(ROBOT, CFG, control_dt=5e-3, move_mode="direct")
+    tp = worst_case_params()
+    ref = initial_plan(Q0, CFG.dtype)
+    k = jnp.full(7, 0.4, CFG.dtype)
+    ref = advance_plan(ref, k, jnp.asarray(Q0), jnp.zeros(7), jnp.zeros(7), CFG)
+    q, qd, logs = rollout(jnp.asarray(Q0), jnp.zeros(7), ref, tp)
+    np.testing.assert_allclose(np.asarray(logs["q"]), np.asarray(logs["q_des"]))
+    assert np.all(np.asarray(logs["u"]) == 0.0)
+    q_ref, qd_ref, _ = desired_state(ref, CFG.t_plan, CFG)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), atol=1e-12)
+
+
+def test_althoff_controller_tracks():
+    """The Giusti-Althoff PI-adaptive comparison controller must track a
+    feasible plan under +3% model error (robust_controller.cpp:112-128;
+    comparison axis of kinova_compare_robust_controller.m)."""
+    rollout = make_rollout(ROBOT, CFG, control_dt=2e-3, controller="althoff")
+    tp = worst_case_params()
+    ref = initial_plan(Q0, CFG.dtype)
+    k = jnp.full(7, 0.5, CFG.dtype)
+    ref = advance_plan(ref, k, jnp.asarray(Q0), jnp.zeros(7), jnp.zeros(7), CFG)
+    q, qd, logs = rollout(jnp.asarray(Q0), jnp.zeros(7), ref, tp)
+    pos_err = np.max(np.abs(np.asarray(logs["q"]) - np.asarray(logs["q_des"])))
+    assert np.isfinite(pos_err) and pos_err < 0.05, pos_err
+
+
+def test_measurement_noise_keeps_ultimate_bound():
+    """1e-4 encoder-scale measurement noise (uarmtd_agent.m:300-312) must not
+    break the robust controller's tracking bound."""
+    rollout = make_rollout(ROBOT, CFG, control_dt=2e-3, measurement_noise=1e-4)
+    tp = worst_case_params()
+    ref = initial_plan(Q0, CFG.dtype)
+    k = jnp.full(7, 0.5, CFG.dtype)
+    ref = advance_plan(ref, k, jnp.asarray(Q0), jnp.zeros(7), jnp.zeros(7), CFG)
+    q, qd, logs = rollout(jnp.asarray(Q0), jnp.zeros(7), ref, tp)
+    pos_err = np.max(np.abs(np.asarray(logs["q"]) - np.asarray(logs["q_des"])))
+    vel_err = np.max(np.abs(np.asarray(logs["qd"]) - np.asarray(logs["qd_des"])))
+    assert pos_err <= CFG.ub.qe, pos_err
+    assert vel_err <= CFG.ub.qde, vel_err
+
+
 def test_oracle_detects_rotated_obstacle_collision():
     """A rotated box that overlaps a link only through its off-diagonal
     generators must be flagged (round-1 oracle used diag(|G|) and missed it)."""

@@ -160,6 +160,29 @@ def test_rnea_interval_contains_perturbed_params(jrs):
         assert np.all(np.abs(np.asarray(tau) - np.asarray(c)) <= np.asarray(r) + 1e-10)
 
 
+def test_rnea_interval_contains_com_uncertainty(jrs):
+    """With com_uncertainty enabled, the interval RNEA must also cover
+    torques under perturbed centers of mass (get_inertial_params.m:212
+    semantics: whole COM vector scaled by one factor per link)."""
+    robot_c = dataclasses.replace(ROBOT, com_uncertainty=0.05)
+    u_int = dynamics.rnea_pz(jrs, robot_c, CFG, BASIS, uncertain=True)
+    rng = np.random.default_rng(9)
+    for _ in range(20):
+        t_ind = int(rng.integers(0, CFG.num_time_steps))
+        q, qd, qdd, k = _sample_traj(rng, t_ind)
+        dm = 1.0 + rng.uniform(-1, 1, 7) * robot_c.mass_uncertainty
+        dI = 1.0 + rng.uniform(-1, 1, (7, 1, 1)) * robot_c.inertia_uncertainty
+        dc = 1.0 + rng.uniform(-1, 1, (7, 1)) * robot_c.com_uncertainty
+        tau = rnea_numeric.rnea(
+            ROBOT, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qd), jnp.asarray(qdd),
+            mass=ROBOT.mass * dm, inertia=ROBOT.inertia * dI, com=ROBOT.com * dc,
+        )
+        phi = BASIS.phi(jnp.asarray(k))
+        pz = bpz.BPZ(u_int.coef[t_ind], u_int.egen[t_ind], u_int.rad[t_ind])
+        c, r = bpz.slice_at(pz, phi)
+        assert np.all(np.abs(np.asarray(tau) - np.asarray(c)) <= np.asarray(r) + 1e-10)
+
+
 def test_rnea_close_to_faithful_oracle(jrs):
     """BPZ RNEA vs the threshold-pruning sparse oracle (reference-faithful):
     sliced bands must overlap consistently and radii stay comparable."""
