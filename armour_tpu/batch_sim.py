@@ -51,6 +51,7 @@ def _batched_true_params(robot: RobotModel, rng: np.random.Generator, W: int,
     return TrueParams(
         mass=jnp.stack([t.mass for t in tps]),
         inertia=jnp.stack([t.inertia for t in tps]),
+        com=jnp.stack([t.com for t in tps]),
     )
 
 
@@ -125,7 +126,10 @@ def run_trials_batched(
 
         feas = np.all(np.isfinite(k), axis=-1)
         infeasible += (~feas) & active
-        stop_count = np.where(feas, 0, stop_count + 1)
+        # freeze bookkeeping for inactive worlds: a finished world's masked
+        # simulation must not reset or advance its stuck counter
+        stop_count = np.where(active, np.where(feas, 0, stop_count + 1),
+                              stop_count)
 
         ref = accept(ref, jnp.asarray(k, dt), q0, qd0, qdd0)
         q, qd, logs = rollout(q, qd, ref, tp)
@@ -146,6 +150,11 @@ def run_trials_batched(
         if not active.any():
             break
 
+    # NOTE: amortized time — total batch wall-time split evenly across the W
+    # lockstepped worlds (inactive worlds still consume batch time).  Not
+    # comparable to the serial per-plan wall times run_trial records; use
+    # `plan_times` (returned per batch iteration by callers that need it) for
+    # raw throughput numbers.
     per_iter = [t / W for t in plan_times]
     return [
         TrialSummary(

@@ -135,18 +135,20 @@ class ArmourConfig:
         return cls(**overrides)
 
 
-def derive_ultimate_bound(robot, v_max: float = 1e-2, alpha: float = 10.0,
-                          k_r: float = 5.0, n_samples: int = 256,
-                          seed: int = 0, margin: float = 0.1) -> UltimateBound:
-    """Per-robot UltimateBound: M(q) eigenvalue extremes over the joint-limit
-    box (the reference hardcodes the Kinova's M_min/M_max,
-    KinovaWithoutGripperInfo.h:103-112; kinova_run_100_worlds.m:96).
+def mass_eigenvalue_bracket(robot, n_samples: int = 512, seed: int = 0,
+                            margin: float = 0.1, refine_steps: int = 12):
+    """(m_min, m_max) bracket of lambda(M(q)) over the joint-limit box.
 
-    Random sampling over-estimates the minimum eigenvalue, so the worst
-    samples are refined by projected gradient descent on lambda_min(M(q))
-    (and ascent for lambda_max).  m_min is further shrunk / m_max grown by
-    `margin`; a smaller m_min only enlarges eps — more conservative
-    tracking-error padding in the JRS."""
+    HEURISTIC, not certified: random sampling over-estimates the true
+    minimum, so the worst samples are refined by projected gradient descent
+    on lambda_min(M(q)) (ascent for lambda_max) and the result is shrunk /
+    grown by `margin`.  If the true global minimum lies more than `margin`
+    below the refined sample minimum, eps under-covers the tracking error —
+    the closed-loop `ultimate_bound_exceeded` oracle (simulator.py) is the
+    runtime backstop that would catch such a miss.  A certified bound
+    (interval Gershgorin over the box) is gratuitously loose for
+    near-singular wrist configurations; the margin + oracle pairing is the
+    deliberate trade."""
     import jax
     import numpy as np
 
@@ -156,30 +158,99 @@ def derive_ultimate_bound(robot, v_max: float = 1e-2, alpha: float = 10.0,
     lo = np.maximum(np.asarray(robot.position_limits_lb), -math.pi)
     hi = np.minimum(np.asarray(robot.position_limits_ub), math.pi)
     qs = rng.uniform(lo, hi, (n_samples, robot.num_factors))
+    lo_j, hi_j = jnp.asarray(lo), jnp.asarray(hi)
 
     def eig_ends(q):
         e = jnp.linalg.eigvalsh(mass_matrix(robot, q))
         return e[..., 0], e[..., -1]
 
-    e_lo, e_hi = jax.jit(eig_ends)(jnp.asarray(qs, jnp.float64))
-    e_lo, e_hi = np.asarray(e_lo), np.asarray(e_hi)
-
     def refine(q0, sign):
-        # projected gradient steps on sign * lambda_end within the box
-        fn = (lambda q: eig_ends(q)[0]) if sign < 0 else (lambda q: -eig_ends(q)[1])
-        grad = jax.jit(jax.vmap(jax.grad(fn)))
-        q = jnp.asarray(q0, jnp.float64)
-        for _ in range(30):
-            q = jnp.clip(q - 0.1 * grad(q), jnp.asarray(lo), jnp.asarray(hi))
-        a, b = jax.vmap(eig_ends)(q)
-        return (np.asarray(a).min() if sign < 0 else np.asarray(b).max())
+        # PGD on sign * lambda_end; gradient via the Rayleigh quotient of the
+        # frozen extremal eigenvector (avoids differentiating through eigh)
+        def body(_, q):
+            M = mass_matrix(robot, q)
+            _, V = jnp.linalg.eigh(M)
+            v = jax.lax.stop_gradient(V[..., 0] if sign < 0 else V[..., -1])
+            g = jax.grad(lambda qq: v @ mass_matrix(robot, qq) @ v)(q)
+            return jnp.clip(q - sign * 0.1 * g, lo_j, hi_j)
 
-    worst_lo = qs[np.argsort(e_lo)[:8]]
-    worst_hi = qs[np.argsort(-e_hi)[:8]]
-    m_min = min(float(e_lo.min()), float(refine(worst_lo, -1))) * (1.0 - margin)
-    m_max = max(float(e_hi.max()), float(refine(worst_hi, +1))) * (1.0 + margin)
+        q = jax.lax.fori_loop(0, refine_steps, body, q0)
+        a, b = eig_ends(q)
+        return a if sign < 0 else b
+
+    @jax.jit
+    def bracket(qs):
+        e_lo, e_hi = jax.vmap(eig_ends)(qs)
+        worst_lo = qs[jnp.argsort(e_lo)[:8]]
+        worst_hi = qs[jnp.argsort(-e_hi)[:8]]
+        r_lo = jax.vmap(lambda q: refine(q, -1))(worst_lo)
+        r_hi = jax.vmap(lambda q: refine(q, +1))(worst_hi)
+        return (jnp.minimum(e_lo.min(), r_lo.min()),
+                jnp.maximum(e_hi.max(), r_hi.max()))
+
+    m_lo, m_hi = bracket(jnp.asarray(qs, jnp.float64))
+    m_min = float(m_lo) * (1.0 - margin)
+    m_max = float(m_hi) * (1.0 + margin)
     assert m_min > 0.0, "mass matrix must be positive definite"
-    return UltimateBound(alpha=alpha, v_max=v_max, m_max=m_max, m_min=m_min, k_r=k_r)
+    return m_min, m_max
+
+
+def derive_ultimate_bound(robot, v_max: float = None, alpha: float = 10.0,
+                          k_r: float = 5.0, n_samples: int = 512,
+                          seed: int = 0, margin: float = 0.1,
+                          qde_fraction: float = 0.4,
+                          use_cache: bool = True) -> UltimateBound:
+    """Per-robot UltimateBound (the reference hardcodes the Kinova's
+    M_min/M_max, KinovaWithoutGripperInfo.h:103-112;
+    kinova_run_100_worlds.m:96).
+
+    V_max is a CONTROLLER DESIGN KNOB, not a constant
+    (uarmtd_robust_CBF_LLC.m:6-12 exposes it; scripts set 1e-2 or 5e-5).
+    eps = sqrt(2 V_max / m_min) explodes as m_min -> 0 (the Panda reaches
+    m_min ~ 1e-3 near wrist singularities), so deriving eps from a fixed
+    V_max renders every velocity constraint infeasible (qde = 2 eps above
+    the speed limit).  Instead eps is chosen first —
+
+        eps = min( sqrt(2 * 1e-2 / m_min),               # reference default
+                   qde_fraction * min(speed_limits) / 2 ) # qde headroom cap
+
+    — and V_max co-derived as 0.5 * m_min * eps^2.  On the Kinova
+    (m_min ~ 5.1) the cap is inactive and this reproduces the reference's
+    V_max = 1e-2, eps ~ 0.0627.  Pass an explicit v_max to pin it (old
+    behavior).  Results are cached per robot name in models/ub_cache.json
+    (scripts/derive_ub_cache.py regenerates)."""
+    if use_cache and v_max is None:
+        cached = _ub_cache().get(_ub_cache_key(robot, alpha, k_r, n_samples,
+                                               seed, margin, qde_fraction))
+        if cached is not None:
+            return UltimateBound(**cached)
+
+    m_min, m_max = mass_eigenvalue_bracket(robot, n_samples, seed, margin)
+    if v_max is None:
+        eps = min(math.sqrt(2.0 * 1e-2 / m_min),
+                  qde_fraction * float(min(robot.speed_limits)) / 2.0)
+        v_max = 0.5 * m_min * eps * eps
+    return UltimateBound(alpha=alpha, v_max=v_max, m_max=m_max, m_min=m_min,
+                         k_r=k_r)
+
+
+def _ub_cache_key(robot, alpha, k_r, n_samples, seed, margin, qde_fraction):
+    return (f"{robot.name}|a{alpha}|kr{k_r}|n{n_samples}|s{seed}|m{margin}"
+            f"|f{qde_fraction}")
+
+
+def _ub_cache() -> dict:
+    global _UB_CACHE
+    if _UB_CACHE is None:
+        import json
+        from pathlib import Path
+
+        p = Path(__file__).parent / "models" / "ub_cache.json"
+        _UB_CACHE = json.loads(p.read_text()) if p.exists() else {}
+    return _UB_CACHE
+
+
+_UB_CACHE = None
 
 
 DEFAULT_CONFIG = ArmourConfig()

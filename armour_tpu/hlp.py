@@ -14,6 +14,11 @@ mid-level planner.  Same split here: HLPs are pure numpy, called once per
     least-squares IK seeded from the midpoint of the current and goal
     configurations (IK failure falls back to the global goal configuration,
     matching the reference's exitflag<0 branch).
+  * ConfigRRTStarHLP      — robot_arm_RRT_star_HLP.m: RRT* directly in the
+    configuration space; nodes and edges are collision-checked by sweeping
+    the whole arm (link segments, capsule-buffered) against the obstacle
+    boxes, so narrow passages (doorway, shelves) that defeat straight-line
+    guidance get real around-the-obstacle waypoints.
 """
 
 from __future__ import annotations
@@ -231,3 +236,145 @@ class EndEffectorRRTStarHLP:
         if not ok:
             return np.asarray(self.world.goal, float)
         return q_wp
+
+
+# ---------------------------------------------------------------------------
+# configuration-space RRT* (robot_arm_RRT_star_HLP.m)
+# ---------------------------------------------------------------------------
+
+
+class ConfigRRTStarHLP:
+    """RRT* directly in configuration space.
+
+    Arm collision model: every consecutive pair of joint-frame origins (plus
+    the tool point) is a segment swept against obstacle AABBs buffered by
+    `buffer` (a capsule over-approximation of the link volume — conservative
+    guidance is fine for an HLP; the certified safety comes from the PZ
+    planner underneath).  Edges are checked at `edge_step` rad resolution in
+    the max-norm (the reference discretizes edges the same way,
+    robot_arm_RRT_star_HLP.m edge feasibility).
+    """
+
+    def __init__(self, world: World, robot: RobotModel, lookahead: float = 0.4,
+                 buffer: float = 0.08, max_nodes: int = 800, steer: float = 0.6,
+                 goal_bias: float = 0.15, rewire_radius: float = 1.2,
+                 edge_step: float = 0.1, seed: int = 0):
+        self.world = world
+        self.robot = robot
+        self.lookahead = lookahead
+        self.max_nodes = max_nodes
+        self.steer = steer
+        self.goal_bias = goal_bias
+        self.rewire_radius = rewire_radius
+        self.edge_step = edge_step
+        self.rng = np.random.default_rng(seed)
+
+        self.obs_c = np.asarray(world.obstacle_centers).reshape(-1, 3)
+        gens = np.asarray(world.obstacle_generators).reshape(-1, 3, 3)
+        self.obs_half = (np.abs(gens).sum(axis=2) + buffer) if len(gens) \
+            else gens.reshape(0, 3)
+        self.lb = np.where(robot.position_limits_lb < -100, -np.pi,
+                           np.maximum(robot.position_limits_lb, -np.pi))
+        self.ub = np.where(robot.position_limits_ub > 100, np.pi,
+                           np.minimum(robot.position_limits_ub, np.pi))
+        self.goal = np.asarray(world.goal, float)
+        self._path: Optional[np.ndarray] = None
+
+    # -- collision model ----------------------------------------------------
+
+    def _config_free(self, q: np.ndarray) -> bool:
+        pts = _fk_frames(self.robot, q)          # [J+1, 3] joint origins + ee
+        if self.obs_c.size == 0:
+            return True
+        for a, b in zip(pts[:-1], pts[1:]):
+            if _segment_hits_boxes(a, b, self.obs_c, self.obs_half, step=0.03):
+                return False
+        return True
+
+    def _edge_free(self, qa: np.ndarray, qb: np.ndarray) -> bool:
+        n = max(2, int(np.ceil(np.max(np.abs(qb - qa)) / self.edge_step)) + 1)
+        for t in np.linspace(0.0, 1.0, n):
+            if not self._config_free(qa + t * (qb - qa)):
+                return False
+        return True
+
+    # -- tree growth --------------------------------------------------------
+
+    def _grow(self, root: np.ndarray):
+        t = _Tree(nodes=[np.asarray(root, float)], parents=[-1], costs=[0.0])
+        best_goal, best_cost = None, np.inf
+        goal_free = self._config_free(self.goal)
+        for _ in range(self.max_nodes):
+            if self.rng.uniform() < self.goal_bias:
+                sample = self.goal
+            else:
+                sample = self.rng.uniform(self.lb, self.ub)
+            nodes = np.asarray(t.nodes)
+            d = np.linalg.norm(nodes - sample[None, :], axis=1)
+            ni = int(np.argmin(d))
+            direction = sample - nodes[ni]
+            dist = np.linalg.norm(direction)
+            if dist < 1e-9:
+                continue
+            new = nodes[ni] + direction * min(1.0, self.steer / dist)
+            if not self._config_free(new) or not self._edge_free(nodes[ni], new):
+                continue
+            near = np.where(
+                np.linalg.norm(nodes - new[None, :], axis=1) < self.rewire_radius
+            )[0]
+            parent = ni
+            cost = t.costs[ni] + np.linalg.norm(new - nodes[ni])
+            for j in near:
+                cj = t.costs[j] + np.linalg.norm(t.nodes[j] - new)
+                if cj < cost and self._edge_free(t.nodes[j], new):
+                    parent, cost = int(j), cj
+            t.nodes.append(new)
+            t.parents.append(parent)
+            t.costs.append(cost)
+            new_i = len(t.nodes) - 1
+            for j in near:
+                cj = cost + np.linalg.norm(t.nodes[j] - new)
+                if cj < t.costs[j] and self._edge_free(new, t.nodes[j]):
+                    t.parents[j] = new_i
+                    t.costs[j] = cj
+            gd = np.linalg.norm(new - self.goal)
+            if goal_free and gd < self.steer and cost + gd < best_cost \
+                    and self._edge_free(new, self.goal):
+                best_cost = cost + gd
+                best_goal = new_i
+        self._tree = t
+        if best_goal is None:
+            nodes = np.asarray(t.nodes)
+            best_goal = int(np.argmin(np.linalg.norm(nodes - self.goal[None, :], axis=1)))
+            path = []
+        else:
+            path = [self.goal]
+        i = best_goal
+        while i >= 0:
+            path.append(t.nodes[i])
+            i = t.parents[i]
+        self._path = np.asarray(path[::-1])
+
+    def get_waypoint(self, q: np.ndarray) -> np.ndarray:
+        """Walk the configuration path `lookahead` rad (arclength) forward of
+        the closest path point to q."""
+        q = np.asarray(q, float)
+        if self._path is None:
+            self._grow(q)
+        path = self._path
+        if len(path) < 2:
+            return straight_line_waypoint(q, self.goal, self.lookahead)
+        d = np.linalg.norm(path - q[None, :], axis=1)
+        i = int(np.argmin(d))
+        remaining = self.lookahead
+        z = path[i]
+        while i + 1 < len(path) and remaining > 0:
+            seg = path[i + 1] - path[i]
+            L = np.linalg.norm(seg)
+            if L >= remaining:
+                z = path[i] + seg * (remaining / L)
+                break
+            z = path[i + 1]
+            remaining -= L
+            i += 1
+        return np.asarray(z, float)

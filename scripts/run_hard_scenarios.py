@@ -11,7 +11,7 @@ import numpy as np
 
 from armour_tpu.collision import pad_obstacles
 from armour_tpu.config import ArmourConfig
-from armour_tpu.experiments import SuiteResult, summarize
+from armour_tpu.experiments import SuiteResult, save_results, summarize
 from armour_tpu.models.kinova import kinova_gen3
 from armour_tpu.planner import make_planner
 from armour_tpu.scenarios import all_hard_scenarios
@@ -21,6 +21,7 @@ from armour_tpu.utils.cache import enable_persistent_cache
 
 def main():
     enable_persistent_cache()
+    out = sys.argv[1] if len(sys.argv) > 1 else "results_hard.json"
     robot = kinova_gen3()
     cfg = ArmourConfig(dtype=jnp.float32)
     step = make_planner(robot, cfg)
@@ -34,6 +35,7 @@ def main():
         res = SuiteResult(world=f"hard_{i}", summary=summary)
         results.append(res)
         print(f"hard scenario {i}: {res.bucket()} iters={summary.iterations}", flush=True)
+        save_results(results, out)
     print(json.dumps(summarize(results), indent=1))
 
 

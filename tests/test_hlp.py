@@ -3,8 +3,8 @@
 import numpy as np
 import pytest
 
-from armour_tpu.hlp import (EndEffectorRRTStarHLP, StraightLineHLP,
-                            ee_position, ik_damped_ls)
+from armour_tpu.hlp import (ConfigRRTStarHLP, EndEffectorRRTStarHLP,
+                            StraightLineHLP, ee_position, ik_damped_ls)
 from armour_tpu.models.kinova import kinova_gen3
 from armour_tpu.worlds import World
 
@@ -62,6 +62,40 @@ def test_rrt_star_waypoint_avoids_obstacles(robot):
     assert path is not None and len(path) >= 2
     d = np.abs(path - mid[None, :]) - (0.05 + 0.05)
     assert not np.any(np.all(d < 0, axis=1))
+
+
+def test_config_rrt_star_waypoints_track_collision_free_path(robot):
+    """Config-space RRT* (robot_arm_RRT_star_HLP.m): the path must exist,
+    every node must keep the swept arm outside the buffered obstacles, and
+    walking waypoints must make progress toward the goal."""
+    start = np.zeros(7)
+    goal = np.array([1.0, 0.4, 0.0, 0.4, 0.0, 0.3, 0.0])
+    p0 = ee_position(robot, start)
+    p1 = ee_position(robot, goal)
+    mid = 0.5 * (p0 + p1)
+    w = _world(robot, mid[None], np.diag([0.04, 0.04, 0.04])[None],
+               start=start, goal=goal)
+    hlp = ConfigRRTStarHLP(w, robot, lookahead=0.4, max_nodes=250, seed=3)
+    wp = hlp.get_waypoint(start)
+    assert wp.shape == (7,)
+    assert np.all(np.isfinite(wp))
+    path = hlp._path
+    assert path is not None and len(path) >= 2
+    for qn in path:
+        assert hlp._config_free(qn)
+    # iterating waypoints converges toward the goal configuration
+    q = start.copy()
+    for _ in range(12):
+        q = hlp.get_waypoint(q)
+    assert np.linalg.norm(q - goal) < np.linalg.norm(start - goal)
+
+
+def test_config_rrt_star_empty_world_heads_to_goal(robot):
+    w = _world(robot, np.zeros((0, 3)), np.zeros((0, 3, 3)))
+    hlp = ConfigRRTStarHLP(w, robot, lookahead=0.3, max_nodes=150, seed=4)
+    q = np.zeros(7)
+    wp = hlp.get_waypoint(q)
+    assert np.linalg.norm(w.goal - wp) < np.linalg.norm(w.goal - q)
 
 
 def test_rrt_star_ik_failure_falls_back_to_goal(robot):

@@ -90,6 +90,7 @@ def test_native_rollout_matches_jax(setup):
     tp = TrueParams(
         mass=jnp.asarray(robot.mass * 1.02),
         inertia=jnp.asarray(robot.inertia * 0.98),
+        com=jnp.asarray(robot.com),
     )
 
     control_dt = 1e-3

@@ -119,6 +119,23 @@ def test_derived_ultimate_bound_brackets_sampled_eigenvalues():
         assert ub.m_max >= eigs.max(), (name, ub.m_max, eigs.max())
 
 
+@pytest.mark.parametrize("name", ALL)
+def test_derived_ultimate_bound_leaves_velocity_headroom(name):
+    """The co-derived eps must keep the velocity tracking budget qde = 2*eps
+    strictly below every robot's speed limit, or the planner's velocity
+    extremum constraints (nlp.py vel_ub = speed_limits - qde) are infeasible
+    for every k (round-2 regression: fixed V_max=1e-2 gave the Panda
+    eps = 5.5 rad, qde = 11 rad/s > its 2.2 rad/s limit)."""
+    from armour_tpu.config import derive_ultimate_bound
+
+    r = zoo.load_zoo_robot(name)
+    ub = derive_ultimate_bound(r)
+    min_speed = float(np.min(r.speed_limits))
+    assert ub.qde < min_speed, (name, ub.qde, min_speed)
+    # and with real headroom: at most half the speed budget eaten by tracking
+    assert ub.qde <= 0.5 * min_speed + 1e-9, (name, ub.qde, min_speed)
+
+
 def test_kinova_urdf_matches_header_model():
     """The URDF-extracted Kinova agrees with the header-derived flagship
     model (KinovaWithoutGripperInfo.h) on kinematics & mass."""
