@@ -104,6 +104,15 @@ class ArmourConfig:
     solver_tol: float = 1e-4
     turn_off_input_constraints: bool = False
 
+    # --- grasp / contact constraints (Dynamics_sav.cu f_c/n_c wrench PZs +
+    # uarmtd_planner.m:539-542 grasp_constraints_flag; off by default like
+    # the reference's never-enabled placeholder) ---
+    grasp_constraints: bool = False
+    grasp_mu: float = 0.5               # contact friction coefficient
+    grasp_support_radius: float = 0.05  # support-disc radius (tray tipping)
+    grasp_normal_axis: int = 2          # contact normal in the payload frame
+    grasp_violation_threshold: float = 1e-4
+
     # --- controller / ultimate bound ---
     ub: UltimateBound = dataclasses.field(default_factory=UltimateBound)
 

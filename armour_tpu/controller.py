@@ -74,9 +74,16 @@ def robust_control(robot: RobotModel, cfg: ArmourConfig, q, qd, q_des, qd_des, q
     dist_sup = jnp.sum(jnp.abs(pert), axis=0)                      # [F]
     rho = jnp.abs(r) @ dist_sup
 
-    # interval Lyapunov: V = 0.5 r^T M(q) r with M from rnea(qdd=r, no grav)
+    # interval Lyapunov: V = 0.5 r^T M(q) r with M from rnea(qdd=r, no grav).
+    # M here MUST include the transmission (motor) inertia: the plant is
+    # (M_links + diag(armature)) qdd + ... = u, and the reference's passRNEA
+    # adds transI*qdd inside the Lyapunov interval RNEA too (rnea.cpp
+    # backward pass; robust_controller.cpp:129-167).  Excluding it made
+    # V_sup underestimate the true V by 0.5 r^T diag(armature) r — armature
+    # dominates lambda_min (8.0 vs 3e-4 on the Kinova) — so the CBF fired
+    # too late and ||r|| escaped eps (round-3 ultimate-bound violations).
     z = jnp.zeros_like(q)
-    v_nom = 0.5 * r @ rnea(robot, q, z, z, r, set_gravity=False, include_armature=False)
+    v_nom = 0.5 * r @ rnea(robot, q, z, z, r, set_gravity=False, include_armature=True)
     v_pert = _perturbation_taus(robot, q, z, z, r)                 # [2J, F]
     v_sup = v_nom + 0.5 * jnp.sum(jnp.abs(v_pert @ r), axis=0)
     h = ub.v_max - v_sup

@@ -71,12 +71,13 @@ class GraspParams:
     normal_axis: int = 2  # contact normal in the payload frame
 
 
-def grasp_constraint_intervals(w: ContactWrenchFRS, params: GraspParams,
-                               basis: KBasis, cfg: ArmourConfig):
-    """Sound interval bounds of the three contact constraints over the whole
-    (k, error) set, from the INTERVAL wrench PZs: returns per-time upper
-    bounds (g <= 0 safe).  Polynomials of PZs evaluated in PZ arithmetic keep
-    the containment guarantee."""
+def _contact_constraint_pzs(w: ContactWrenchFRS, params: GraspParams,
+                            basis: KBasis, cfg: ArmourConfig):
+    """The three contact-condition PZs (sep, slip, tip), each [T], built in
+    PZ arithmetic from the INTERVAL wrench PZs so the containment guarantee
+    carries through the (quadratic) constraint polynomials.  Quadratic terms
+    whose k-degree exceeds the basis cap are outward-rounded into the
+    independent radius by bpz.mul — sound, only conservative."""
     a = params.normal_axis
     t_axes = [i for i in range(3) if i != a]
     slop = cfg.float_slop
@@ -88,21 +89,52 @@ def grasp_constraint_intervals(w: ContactWrenchFRS, params: GraspParams,
     f_t = [comp(w.f_int, i) for i in t_axes]
     n_t = [comp(w.n_int, i) for i in t_axes]
 
-    # separation: -f_n <= 0  -> upper bound of -f_n
-    c_sep, r_sep = bpz.to_interval(bpz.neg(f_n))
-    g_sep = c_sep + r_sep
-
-    # slipping: f_tx^2 + f_ty^2 - mu^2 f_n^2 <= 0
     sq = lambda p: bpz.mul(p, p, basis, slop)
+    # separation: -f_n <= 0   (contact force pushes, never pulls)
+    sep = bpz.neg(f_n)
+    # slipping: f_tx^2 + f_ty^2 - mu^2 f_n^2 <= 0
     slip = bpz.add(sq(f_t[0]), sq(f_t[1]))
     slip = bpz.add(slip, bpz.scale(sq(f_n), -params.mu ** 2))
-    c_slip, r_slip = bpz.to_interval(slip)
-    g_slip = c_slip + r_slip
-
     # tipping: n_tx^2 + n_ty^2 - r^2 f_n^2 <= 0
     tip = bpz.add(sq(n_t[0]), sq(n_t[1]))
     tip = bpz.add(tip, bpz.scale(sq(f_n), -params.support_radius ** 2))
-    c_tip, r_tip = bpz.to_interval(tip)
-    g_tip = c_tip + r_tip
+    return sep, slip, tip
 
-    return g_sep, g_slip, g_tip
+
+def grasp_constraint_intervals(w: ContactWrenchFRS, params: GraspParams,
+                               basis: KBasis, cfg: ArmourConfig):
+    """Sound interval bounds of the three contact constraints over the whole
+    (k, error) set: per-time upper bounds (g <= 0 safe).  Used by tests and
+    offline verification; the planner uses the k-sliceable grasp_frs rows."""
+    sep, slip, tip = _contact_constraint_pzs(w, params, basis, cfg)
+
+    def upper(p: BPZ):
+        c, r = bpz.to_interval(p)
+        return c + r
+
+    return upper(sep), upper(slip), upper(tip)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GraspFRS:
+    """k-sliceable grasp constraint rows for the NLP (same recipe as the
+    torque rows: slice the constraint PZ at k, keep the error-generator +
+    independent radius as an outward buffer)."""
+
+    g_coef: jnp.ndarray  # [T, 3, B] k-poly coefficients (sep, slip, tip)
+    g_rad: jnp.ndarray   # [T, 3]    non-k radius (error gens + independent)
+
+
+def grasp_frs(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
+              params: GraspParams, contact_joint: int | None = None) -> GraspFRS:
+    """Planner-facing grasp rows: g(k) = g_coef . phi(k) + g_rad <= 0 is a
+    sound constraint for every t (Dynamics_sav.cu:17-20,891-896 wrench PZs +
+    uarmtd_planner.m:539-542 grasp_constraints_flag intent, materialized)."""
+    w = contact_wrench_frs(jrs, robot, cfg, basis, contact_joint)
+    sep, slip, tip = _contact_constraint_pzs(w, params, basis, cfg)
+    rows = [bpz.reduce_(p) for p in (sep, slip, tip)]
+    return GraspFRS(
+        g_coef=jnp.stack([p.coef for p in rows], axis=1),
+        g_rad=jnp.stack([p.rad for p in rows], axis=1),
+    )

@@ -171,7 +171,10 @@ def joint_velocity_extrema(k, traj: TrajectoryCoeffs, cfg: ArmourConfig):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PlanProblem:
-    """Everything the solver needs, precomputed once per plan."""
+    """Everything the solver needs, precomputed once per plan.
+
+    grasp: optional k-sliceable contact-constraint rows (grasp.GraspFRS);
+    None (the default) omits them from the stack entirely."""
 
     traj: TrajectoryCoeffs
     q_des: jnp.ndarray
@@ -180,6 +183,7 @@ class PlanProblem:
     hyp: Hyperplanes
     obs: ObstacleSet
     screened: ScreenedCollision
+    grasp: object = None
 
 
 def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
@@ -206,6 +210,14 @@ def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
         if with_grad:
             du = uc @ dphi                                               # [T*F, F]
             Js += [du, -du]
+
+    if prob.grasp is not None:
+        T = prob.grasp.g_coef.shape[0]
+        gc = prob.grasp.g_coef.reshape(-1, phi.shape[0])             # [T*3, B]
+        g_grasp = gc @ phi + prob.grasp.g_rad.reshape(-1)
+        cs.append(g_grasp)
+        if with_grad:
+            Js.append(gc @ dphi)
 
     p_all = eval_link_polys(prob.frs, phi)
     g_col, grad_p = screened_constraints(prob.screened, p_all)
@@ -255,6 +267,13 @@ def max_violations(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
         hi = tl[None, :] - prob.torque.torque_radius
         v_torque = jnp.max(jnp.abs(u) - hi)
 
+    if prob.grasp is None:
+        v_grasp = jnp.asarray(-BIG, dt)
+    else:
+        g_grasp = (prob.grasp.g_coef.reshape(-1, phi.shape[0]) @ phi
+                   + prob.grasp.g_rad.reshape(-1))
+        v_grasp = jnp.max(g_grasp)
+
     p_all = eval_link_polys(prob.frs, phi)
     g_col = collision_constraints(prob.hyp, prob.obs, p_all)
     v_col = jnp.max(g_col)
@@ -274,16 +293,17 @@ def max_violations(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
             ]
         )
     )
-    return v_torque, v_col, v_state
+    return v_torque, v_col, v_state, v_grasp
 
 
 def is_feasible(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
                 basis: KBasis):
-    v_torque, v_col, v_state = max_violations(k, prob, robot, cfg, basis)
+    v_torque, v_col, v_state, v_grasp = max_violations(k, prob, robot, cfg, basis)
     return (
         (v_torque <= cfg.torque_violation_threshold)
         & (v_col <= cfg.collision_violation_threshold)
         & (v_state <= 1e-6)
+        & (v_grasp <= cfg.grasp_violation_threshold)
     )
 
 
@@ -313,6 +333,9 @@ def _stack_thresholds(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
     if not cfg.turn_off_input_constraints:
         T = prob.torque.u_coef.shape[0]
         parts.append(jnp.full((2 * T * F,), cfg.torque_violation_threshold, dt))
+    if prob.grasp is not None:
+        Tg = prob.grasp.g_coef.shape[0]
+        parts.append(jnp.full((3 * Tg,), cfg.grasp_violation_threshold, dt))
     K = prob.screened.row.shape[0]
     parts.append(jnp.full((K,), cfg.collision_violation_threshold, dt))
     parts.append(jnp.full((8 * F,), 1e-6, dt))

@@ -38,6 +38,17 @@ def plan_step(q0, qd0, qdd0, q_des, obs: ObstacleSet, robot: RobotModel,
     torque = torque_frs(jrs, robot, cfg, basis)
     hyp = build_hyperplanes(frs, obs)
     screened = screen_collision(hyp, obs, frs, cfg.screen_k)
+    if cfg.grasp_constraints:
+        from .grasp import GraspParams, grasp_frs
+
+        grasp = grasp_frs(
+            jrs, robot, cfg, basis,
+            GraspParams(mu=cfg.grasp_mu,
+                        support_radius=cfg.grasp_support_radius,
+                        normal_axis=cfg.grasp_normal_axis),
+        )
+    else:
+        grasp = None
     prob = PlanProblem(
         traj=jrs.traj,
         q_des=jnp.asarray(q_des, cfg.dtype),
@@ -46,6 +57,7 @@ def plan_step(q0, qd0, qdd0, q_des, obs: ObstacleSet, robot: RobotModel,
         hyp=hyp,
         obs=obs,
         screened=screened,
+        grasp=grasp,
     )
     return solve(prob, robot, cfg, basis, k0=k0)
 

@@ -232,10 +232,13 @@ void art_robust_control(const ArtModel* md, double kr, double alpha,
     r_sq += r[i] * r[i];
   }
 
-  // interval Lyapunov V = sup 0.5 r^T M(q) r via RNEA(qdd=r, no gravity)
+  // interval Lyapunov V = sup 0.5 r^T M(q) r via RNEA(qdd=r, no gravity).
+  // M includes the transmission inertia (the plant is M_links+diag(armature);
+  // the reference's passRNEA adds transI*qdd inside this call too) — without
+  // it V is underestimated and the CBF fires too late (controller.py note).
   std::vector<double> mr(F);
   art_rnea(md, q, zero.data(), zero.data(), r.data(), nullptr, nullptr,
-           /*set_gravity=*/0, /*include_armature=*/0, mr.data());
+           /*set_gravity=*/0, /*include_armature=*/1, mr.data());
   double v_nom = 0.0;
   for (int i = 0; i < F; ++i) v_nom += 0.5 * r[i] * mr[i];
   std::vector<std::vector<double>> raw;

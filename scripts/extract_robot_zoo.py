@@ -48,6 +48,15 @@ def _read(path: Path) -> str:
     return text
 
 
+# Kinova Gen3 transmission (motor) inertia: URDFs do not carry motor
+# inertia, so the reference hard-codes it into every Kinova agent
+# ("matlab doesn't import these from urdf", kinova_run_100_worlds.m:95).
+# The dumbbell variant is the same physical arm, so it gets the same values.
+KINOVA_ARMATURE = [8.02999999999999936, 11.99620246153036440, 9.00254278617515169,
+                   11.58064393167063599, 8.46650409179141228, 8.85370693737424297,
+                   8.85873036646853151]
+
+
 def main():
     import io
     out = {}
@@ -57,6 +66,10 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             continue
+        if name in ("kinova_urdf", "kinova_dumbbell"):
+            arm = np.zeros(robot.num_joints)
+            arm[:7] = KINOVA_ARMATURE
+            robot = __import__("dataclasses").replace(robot, armature=arm)
         d = {}
         for field in (
             "num_joints", "num_factors", "axes", "trans", "rots", "mass",
