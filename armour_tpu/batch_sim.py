@@ -59,21 +59,35 @@ def run_trials_batched(
     worlds: Sequence[World],
     robot: RobotModel,
     cfg: ArmourConfig,
-    max_iterations: int = 150,
+    max_iterations: int = 500,   # kinova_run_100_worlds.m:64 max_sim_iter
     stop_threshold: int = 4,
     lookahead: float = 0.4,
     true_param_scale: Optional[float] = 1.0,
     seed: int = 0,
     goal_radius: float = np.pi / 30,
     verbose: bool = False,
+    use_hlp: bool = True,
+    hlp_lookahead: float = 0.1,
 ) -> List[TrialSummary]:
-    """Run every world's closed-loop trial in lockstep (batched run_trial)."""
+    """Run every world's closed-loop trial in lockstep (batched run_trial).
+
+    use_hlp: guide each world with a host-side end-effector RRT* waypoint
+    generator, the HLP the reference's 100-world benchmark runs
+    (kinova_run_100_worlds.m:148, lookahead_distance=0.1 at line 57);
+    False falls back to the straight-line waypoint."""
     W = len(worlds)
     F = robot.num_factors
     dt = cfg.dtype
     starts, goals_np, obs = stack_worlds(worlds, cfg)
     rng = np.random.default_rng(seed)
     tp = _batched_true_params(robot, rng, W, true_param_scale)
+    hlps = None
+    if use_hlp:
+        from .hlp import EndEffectorRRTStarHLP
+
+        hlps = [EndEffectorRRTStarHLP(w, robot, lookahead=hlp_lookahead,
+                                      seed=seed + i)
+                for i, w in enumerate(worlds)]
 
     planner = make_batch_planner(robot, cfg)
     rollout1 = make_rollout(robot, cfg)
@@ -84,10 +98,15 @@ def run_trials_batched(
     k_range = jnp.asarray(cfg.k_range, dt)
     goals = jnp.asarray(goals_np, dt)
 
+    cont = jnp.asarray(np.asarray(robot.continuous_joints, bool))
+
     @jax.jit
     def plan_inputs(ref: PlanRef):
         q0, qd0, qdd0 = jax.vmap(lambda r: desired_state(r, cfg.t_plan, cfg))(ref)
-        d = jnp.mod(goals - q0 + jnp.pi, 2 * jnp.pi) - jnp.pi
+        # wrap ONLY continuous joints (robot_arm_straight_line_HLP.m:50);
+        # wrapping a limited joint steers into its joint-limit wall
+        d_plain = goals - q0
+        d = jnp.where(cont, jnp.mod(d_plain + jnp.pi, 2 * jnp.pi) - jnp.pi, d_plain)
         dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
         step = jnp.where(dist <= lookahead, d, d * (lookahead / jnp.maximum(dist, 1e-12)))
         return q0, qd0, qdd0, q0 + step
@@ -117,8 +136,18 @@ def run_trials_batched(
     qd = jnp.zeros_like(q)
     ref = jax.vmap(lambda s: initial_plan(s, dt))(starts)
 
+    wp_cache = np.asarray(goals_np, dtype=np.float64).copy()
+
     for it in range(max_iterations):
         q0, qd0, qdd0, waypoints = plan_inputs(ref)
+        if hlps is not None:
+            # host-side RRT* waypoints, only for still-active worlds
+            # (inactive worlds keep their last waypoint; results are masked)
+            q0h = np.asarray(q0, dtype=np.float64)
+            for i in range(W):
+                if active[i]:
+                    wp_cache[i] = hlps[i].get_waypoint(q0h[i])
+            waypoints = jnp.asarray(wp_cache, dt)
         t0 = time.perf_counter()
         res = planner(q0, qd0, qdd0, waypoints, obs)
         k = np.asarray(res.k)

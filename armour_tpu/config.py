@@ -103,6 +103,14 @@ class ArmourConfig:
     screen_k: int = 4096               # collision rows kept in the hot loop
     solver_tol: float = 1e-4
     turn_off_input_constraints: bool = False
+    # state-limit rows are tightened by this margin INSIDE the solver only;
+    # the finalize feasibility check stays at the true limits.  The ALM's
+    # terminal constraint violation is ~1e-5 in f32, so without headroom a
+    # boundary-optimal iterate lands epsilon OUTSIDE the true bounds and the
+    # whole plan is rejected (-> spurious braking/stuck).  1e-4 rad is 3
+    # orders of magnitude below k_range; the returned plan satisfies the TRUE
+    # limits with margin-minus-epsilon slack, so soundness is unchanged.
+    state_limit_margin: float = 1e-4
 
     # --- grasp / contact constraints (Dynamics_sav.cu f_c/n_c wrench PZs +
     # uarmtd_planner.m:539-542 grasp_constraints_flag; off by default like

@@ -66,10 +66,11 @@ class SuiteResult:
 
 
 def run_world_suite(world_paths: Sequence[str], robot: RobotModel,
-                    cfg: ArmourConfig, max_iterations: int = 150,
+                    cfg: ArmourConfig, max_iterations: int = 500,
                     true_param_scale: Optional[float] = 1.0,
                     seed: int = 0, verbose: bool = True,
-                    results_path: Optional[str] = None) -> List[SuiteResult]:
+                    results_path: Optional[str] = None,
+                    use_hlp: bool = True) -> List[SuiteResult]:
     from .simulator import make_oracles, make_rollout
 
     step = make_planner(robot, cfg)
@@ -77,17 +78,24 @@ def run_world_suite(world_paths: Sequence[str], robot: RobotModel,
     oracles = make_oracles(robot, cfg)
     rng = np.random.default_rng(seed)
     results = []
-    for path in world_paths:
+    for i, path in enumerate(world_paths):
         world = load_world_csv(path)
         obs = pad_obstacles(
             world.obstacle_centers, world.obstacle_generators,
             cfg.max_obstacles, cfg.dtype,
         )
         tp = sample_true_params(robot, rng, scale=true_param_scale)
+        hlp = None
+        if use_hlp:
+            # the reference's benchmark HLP (kinova_run_100_worlds.m:148)
+            from .hlp import EndEffectorRRTStarHLP
+
+            hlp = EndEffectorRRTStarHLP(world, robot, lookahead=0.1,
+                                        seed=seed + i)
         t0 = time.perf_counter()
         summary = run_trial(world, robot, cfg, step, obs, tp,
                             max_iterations=max_iterations,
-                            rollout=rollout, oracles=oracles)
+                            rollout=rollout, oracles=oracles, hlp=hlp)
         res = SuiteResult(world=os.path.basename(path), summary=summary)
         results.append(res)
         if verbose:
@@ -103,7 +111,7 @@ def run_world_suite(world_paths: Sequence[str], robot: RobotModel,
 
 
 def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
-                            cfg: ArmourConfig, max_iterations: int = 150,
+                            cfg: ArmourConfig, max_iterations: int = 500,
                             true_param_scale: Optional[float] = 1.0,
                             seed: int = 0, verbose: bool = True,
                             results_path: Optional[str] = None) -> List[SuiteResult]:

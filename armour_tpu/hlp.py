@@ -36,9 +36,11 @@ class StraightLineHLP:
     def __init__(self, world: World, robot: RobotModel, lookahead: float = 0.4):
         self.world = world
         self.lookahead = lookahead
+        self._cont = robot.continuous_joints
 
     def get_waypoint(self, q: np.ndarray) -> np.ndarray:
-        return straight_line_waypoint(q, self.world.goal, self.lookahead)
+        return straight_line_waypoint(q, self.world.goal, self.lookahead,
+                                      continuous=self._cont)
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +365,8 @@ class ConfigRRTStarHLP:
             self._grow(q)
         path = self._path
         if len(path) < 2:
-            return straight_line_waypoint(q, self.goal, self.lookahead)
+            return straight_line_waypoint(q, self.goal, self.lookahead,
+                                          continuous=self.robot.continuous_joints)
         d = np.linalg.norm(path - q[None, :], axis=1)
         i = int(np.argmin(d))
         remaining = self.lookahead

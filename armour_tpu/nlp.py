@@ -228,9 +228,12 @@ def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
 
     q_min, q_max, gq_min, gq_max = joint_position_extrema(k, prob.traj, cfg)
     qd_min, qd_max, gd_min, gd_max = joint_velocity_extrema(k, prob.traj, cfg)
-    pos_lb = jnp.asarray(robot.position_limits_lb, dt) + ub.qe
-    pos_ub = jnp.asarray(robot.position_limits_ub, dt) - ub.qe
-    vel_ub = jnp.asarray(robot.speed_limits, dt) - ub.qde
+    # margin-tightened bounds: give the f32 ALM headroom so a boundary
+    # optimum still satisfies the TRUE limits checked in max_violations
+    m = cfg.state_limit_margin
+    pos_lb = jnp.asarray(robot.position_limits_lb, dt) + ub.qe + m
+    pos_ub = jnp.asarray(robot.position_limits_ub, dt) - ub.qe - m
+    vel_ub = jnp.asarray(robot.speed_limits, dt) - ub.qde - m
 
     eye = jnp.eye(F, dtype=dt)
     for val, grad in ((q_min, gq_min), (q_max, gq_max)):
@@ -338,7 +341,10 @@ def _stack_thresholds(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
         parts.append(jnp.full((3 * Tg,), cfg.grasp_violation_threshold, dt))
     K = prob.screened.row.shape[0]
     parts.append(jnp.full((K,), cfg.collision_violation_threshold, dt))
-    parts.append(jnp.full((8 * F,), 1e-6, dt))
+    # state rows in the stack are margin-TIGHTENED, so accepting a violation
+    # up to margin/2 against them still leaves margin/2 slack vs the TRUE
+    # limits that is_feasible re-checks
+    parts.append(jnp.full((8 * F,), 0.5 * cfg.state_limit_margin, dt))
     return jnp.concatenate(parts)
 
 
@@ -422,7 +428,12 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
         rho = jnp.minimum(rho * 2.0, 1e6)
         return (k, lam, rho, best_k, best_cost)
 
-    best0 = (k, jnp.asarray(jnp.inf, dt))
+    # seed the best-feasible tracker with the INITIAL iterate: a feasible
+    # warm start (k=0 is the rest/continue plan) must never be lost to an
+    # inner loop that wanders infeasible (Ipopt likewise falls back to its
+    # best feasible iterate, NLPclass.cu:446-538 re-check semantics)
+    feas0 = jnp.all(clip_big(c0) <= thr)
+    best0 = (k, jnp.where(feas0, cost_fn(k), jnp.asarray(jnp.inf, dt)))
     k, lam, rho, best_k, best_cost = jax.lax.fori_loop(
         0, cfg.solver_outer_iters, outer, (k, lam, rho0) + best0
     )

@@ -292,16 +292,24 @@ def run_trial(
     rollout=None,
     oracles=None,
     hlp=None,
+    trace_path: Optional[str] = None,
+    trace_stride: int = 10,
 ) -> TrialSummary:
     """One closed-loop trial on one world (kinova_run_100_worlds.m per-world
     loop).  planner_step = make_planner(robot, cfg) output.  Pass precompiled
     rollout/oracles when running many trials (they are world-independent).
     hlp: optional waypoint generator with .get_waypoint(q) (see hlp.py);
-    defaults to the straight-line HLP like uarmtd_planner.m:53."""
+    defaults to the straight-line HLP like uarmtd_planner.m:53.
+    trace_path: write a .npz replay trace (kinova_replay_trial.m equivalent;
+    scripts/replay_trial.py renders it): actual/reference joint trajectories
+    and inputs subsampled by trace_stride control steps, per-plan k and
+    waypoints, world geometry, and the safety flags."""
     import time as _time
 
     rollout = rollout if rollout is not None else make_rollout(robot, cfg)
     oracles = oracles if oracles is not None else make_oracles(robot, cfg)
+    trace = {"q": [], "qd": [], "u": [], "q_des": [], "qd_des": [],
+             "k": [], "waypoint": [], "feasible": []} if trace_path else None
 
     dt_ref = cfg.dtype
     q = jnp.asarray(world.start, dt_ref)
@@ -324,7 +332,8 @@ def run_trial(
         if hlp is not None:
             waypoint = hlp.get_waypoint(np.asarray(q0))
         else:
-            waypoint = straight_line_waypoint(np.asarray(q0), world.goal, lookahead)
+            waypoint = straight_line_waypoint(np.asarray(q0), world.goal, lookahead,
+                                              continuous=robot.continuous_joints)
         t0 = _time.perf_counter()
         res = planner_step(q0, qd0, qdd0, jnp.asarray(waypoint, dt_ref), obs)
         k = np.asarray(res.k)
@@ -339,6 +348,12 @@ def run_trial(
 
         q, qd, logs = rollout(q, qd, ref, true_params)
         checks = jax.tree.map(bool, oracles(logs, obs))
+        if trace is not None:
+            for name in ("q", "qd", "u", "q_des", "qd_des"):
+                trace[name].append(np.asarray(logs[name])[::trace_stride])
+            trace["k"].append(k)
+            trace["waypoint"].append(np.asarray(waypoint))
+            trace["feasible"].append(bool(np.all(np.isfinite(k))))
         for name in flags:
             flags[name] = flags[name] or checks[name]
         if verbose:
@@ -351,7 +366,7 @@ def run_trial(
         if stop_count >= stop_threshold:
             break
 
-    return TrialSummary(
+    summary = TrialSummary(
         goal_reached=goal,
         infeasible_plans=infeasible,
         iterations=it + 1,
@@ -359,3 +374,20 @@ def run_trial(
         stuck=(stop_count >= stop_threshold),
         **flags,
     )
+    if trace is not None:
+        np.savez_compressed(
+            trace_path,
+            **{name: np.stack(trace[name]) for name in
+               ("q", "qd", "u", "q_des", "qd_des", "k", "waypoint")},
+            feasible=np.asarray(trace["feasible"]),
+            start=np.asarray(world.start), goal=np.asarray(world.goal),
+            obstacle_centers=np.asarray(world.obstacle_centers),
+            obstacle_generators=np.asarray(world.obstacle_generators),
+            trace_dt=float(1e-3 * trace_stride),
+            robot_name=robot.name,
+            flags=np.asarray([summary.collision, summary.torque_exceeded,
+                              summary.ultimate_bound_exceeded,
+                              summary.joint_limit_exceeded,
+                              summary.goal_reached, summary.stuck]),
+        )
+    return summary

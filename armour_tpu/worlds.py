@@ -145,10 +145,21 @@ def goal_check(q: np.ndarray, goal: np.ndarray, goal_radius: float = np.pi / 30)
     return bool(np.linalg.norm(d) <= goal_radius)
 
 
-def straight_line_waypoint(q: np.ndarray, goal: np.ndarray, lookahead: float = 0.3) -> np.ndarray:
+def straight_line_waypoint(q: np.ndarray, goal: np.ndarray, lookahead: float = 0.3,
+                           continuous=None) -> np.ndarray:
     """Straight-line HLP (robot_arm_straight_line_HLP.m:45-57): step toward
-    the goal along the wrapped angular difference."""
-    d = np.mod(goal - q + np.pi, 2 * np.pi) - np.pi
+    the goal.  ONLY continuous (full-rotate) joints take the wrapped angular
+    difference (line 50 applies angdiff to full_rotate_joints alone); a
+    LIMITED joint must use the plain difference — wrapping it points the
+    waypoint through the joint-limit wall and wedges the arm against the
+    limit (observed as consecutive infeasible plans in the 100-world suite).
+    continuous: bool mask [F]; None (legacy) wraps every joint."""
+    d = goal - q
+    wrapped = np.mod(d + np.pi, 2 * np.pi) - np.pi
+    if continuous is None:
+        d = wrapped
+    else:
+        d = np.where(np.asarray(continuous, bool), wrapped, d)
     dist = np.linalg.norm(d)
     if dist <= lookahead:
         return q + d

@@ -27,11 +27,17 @@ def main():
     step = make_planner(robot, cfg)
     rng = np.random.default_rng(0)
     results = []
+    from armour_tpu.hlp import EndEffectorRRTStarHLP
+
     for i, world in enumerate(all_hard_scenarios(), start=1):
         obs = pad_obstacles(world.obstacle_centers, world.obstacle_generators,
                             cfg.max_obstacles, cfg.dtype)
         tp = sample_true_params(robot, rng, scale=1.0)
-        summary = run_trial(world, robot, cfg, step, obs, tp, max_iterations=150)
+        # the reference's hard-scenario script guides with the EE RRT* HLP
+        # (kinova_run_hard_scenarios.m:146, lookahead_distance=0.1)
+        hlp = EndEffectorRRTStarHLP(world, robot, lookahead=0.1, seed=i)
+        summary = run_trial(world, robot, cfg, step, obs, tp,
+                            max_iterations=500, hlp=hlp)
         res = SuiteResult(world=f"hard_{i}", summary=summary)
         results.append(res)
         print(f"hard scenario {i}: {res.bucket()} iters={summary.iterations}", flush=True)
