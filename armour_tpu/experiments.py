@@ -70,21 +70,39 @@ def run_world_suite(world_paths: Sequence[str], robot: RobotModel,
                     true_param_scale: Optional[float] = 1.0,
                     seed: int = 0, verbose: bool = True,
                     results_path: Optional[str] = None,
-                    use_hlp: bool = True) -> List[SuiteResult]:
+                    use_hlp: bool = True,
+                    resume: bool = False) -> List[SuiteResult]:
+    """resume=True: reload per-world results already present in results_path
+    and skip those worlds — mid-run checkpoint/resume for long sweeps (the
+    reference only has per-trial .mat dumps with no resume,
+    kinova_run_100_worlds.m:188-192).  The per-world RNG substream is keyed
+    by world index so resumed and fresh runs sample identical true params."""
     from .simulator import make_oracles, make_rollout
+
+    done = {}
+    if resume and results_path and os.path.exists(results_path):
+        with open(results_path) as f:
+            for d in json.load(f).get("results", []):
+                name = d.pop("world")
+                d.pop("bucket", None)
+                done[name] = SuiteResult(world=name, summary=TrialSummary(**d))
 
     step = make_planner(robot, cfg)
     rollout = make_rollout(robot, cfg)
     oracles = make_oracles(robot, cfg)
-    rng = np.random.default_rng(seed)
     results = []
     for i, path in enumerate(world_paths):
+        name = os.path.basename(path)
+        if name in done:
+            results.append(done[name])
+            continue
         world = load_world_csv(path)
         obs = pad_obstacles(
             world.obstacle_centers, world.obstacle_generators,
             cfg.max_obstacles, cfg.dtype,
         )
-        tp = sample_true_params(robot, rng, scale=true_param_scale)
+        tp = sample_true_params(robot, np.random.default_rng((seed, i)),
+                                scale=true_param_scale)
         hlp = None
         if use_hlp:
             # the reference's benchmark HLP (kinova_run_100_worlds.m:148)

@@ -19,6 +19,12 @@ mid-level planner.  Same split here: HLPs are pure numpy, called once per
     the whole arm (link segments, capsule-buffered) against the obstacle
     boxes, so narrow passages (doorway, shelves) that defeat straight-line
     guidance get real around-the-obstacle waypoints.
+  * LazyPRMHLP            — robot_arm_PRM_HLP.m / the lazy-Dijkstra sampling
+    variants: sample a workspace roadmap once, connect k nearest neighbors
+    WITHOUT edge collision checks, then run Dijkstra that validates edges
+    lazily on pop (invalid edges are deleted and the search resumes) —
+    the classic Lazy PRM.  Same path-walk + IK waypoint conversion as the
+    EE RRT*.
 """
 
 from __future__ import annotations
@@ -381,3 +387,130 @@ class ConfigRRTStarHLP:
             remaining -= L
             i += 1
         return np.asarray(z, float)
+
+
+# ---------------------------------------------------------------------------
+# lazy PRM (workspace roadmap + lazy-Dijkstra edge validation)
+# ---------------------------------------------------------------------------
+
+
+class LazyPRMHLP:
+    """Probabilistic roadmap on end-effector positions with LAZY edge
+    validation (robot_arm_PRM_HLP.m intent + the lazy-Dijkstra sampling
+    variants): the roadmap is built without collision checks; Dijkstra
+    validates an edge only when it would relax through it, deleting invalid
+    edges and continuing.  Narrow scenes re-sample with a denser roadmap if
+    no path survives."""
+
+    def __init__(self, world: World, robot: RobotModel, lookahead: float = 0.1,
+                 buffer: float = 0.05, bounds_radius: float = 1.1,
+                 n_samples: int = 300, k_neighbors: int = 8, seed: int = 0,
+                 max_resample: int = 2):
+        self.world = world
+        self.robot = robot
+        self.lookahead = lookahead
+        self.rng = np.random.default_rng(seed)
+        self.bounds_radius = bounds_radius
+        self.n_samples = n_samples
+        self.k_neighbors = k_neighbors
+        self.max_resample = max_resample
+
+        self.start_p = ee_position(robot, world.start)
+        self.goal_p = ee_position(robot, world.goal)
+        self.obs_c = np.asarray(world.obstacle_centers).reshape(-1, 3)
+        gens = np.asarray(world.obstacle_generators).reshape(-1, 3, 3)
+        self.obs_half = (np.abs(gens).sum(axis=2) + buffer) if len(gens) else gens.reshape(0, 3)
+        self._path: Optional[np.ndarray] = None
+
+    def _sample_nodes(self, n: int) -> np.ndarray:
+        pts = []
+        while len(pts) < n:
+            p = self.rng.uniform(-self.bounds_radius, self.bounds_radius, 3)
+            p[2] = self.rng.uniform(0.0, self.bounds_radius)
+            # keep nodes out of (buffered) obstacles: cheap point check
+            if len(self.obs_c) and np.any(
+                np.all(np.abs(p[None] - self.obs_c) < self.obs_half, axis=1)
+            ):
+                continue
+            pts.append(p)
+        return np.asarray(pts)
+
+    def _lazy_dijkstra(self, nodes: np.ndarray, start_i: int, goal_i: int):
+        """Dijkstra with on-pop lazy edge validation.  Returns node-index
+        path or None."""
+        import heapq
+
+        n = len(nodes)
+        d2 = np.linalg.norm(nodes[:, None, :] - nodes[None, :, :], axis=2)
+        order = np.argsort(d2, axis=1)[:, 1: self.k_neighbors + 1]
+        adj = {i: set(order[i]) for i in range(n)}
+        for i in range(n):
+            for j in order[i]:
+                adj[int(j)].add(i)          # symmetric roadmap
+
+        checked: dict = {}
+
+        def edge_free(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in checked:
+                checked[key] = not _segment_hits_boxes(
+                    nodes[i], nodes[j], self.obs_c, self.obs_half)
+            return checked[key]
+
+        dist = np.full(n, np.inf)
+        prev = np.full(n, -1, dtype=int)
+        dist[start_i] = 0.0
+        heap = [(0.0, start_i)]
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist[u]:
+                continue
+            if u == goal_i:
+                path = [u]
+                while prev[path[-1]] >= 0:
+                    path.append(int(prev[path[-1]]))
+                return path[::-1]
+            for v in adj[u]:
+                v = int(v)
+                nd = du + d2[u, v]
+                if nd < dist[v] and edge_free(u, v):
+                    dist[v] = nd
+                    prev[v] = u
+                    heapq.heappush(heap, (nd, v))
+        return None
+
+    def _build(self, root: np.ndarray):
+        n = self.n_samples
+        for _ in range(self.max_resample + 1):
+            nodes = np.vstack([root[None, :], self.goal_p[None, :],
+                               self._sample_nodes(n)])
+            idx_path = self._lazy_dijkstra(nodes, 0, 1)
+            if idx_path is not None:
+                self._path = nodes[idx_path]
+                return
+            n *= 2
+        self._path = np.vstack([root[None, :], self.goal_p[None, :]])
+
+    def get_waypoint(self, q: np.ndarray) -> np.ndarray:
+        p_now = ee_position(self.robot, q)
+        if self._path is None:
+            self._build(p_now)
+        path = self._path
+        d = np.linalg.norm(path - p_now[None, :], axis=1)
+        i = int(np.argmin(d))
+        remaining = self.lookahead
+        z = path[i]
+        while i + 1 < len(path) and remaining > 0:
+            seg = path[i + 1] - path[i]
+            L = np.linalg.norm(seg)
+            if L >= remaining:
+                z = path[i] + seg * (remaining / L)
+                break
+            z = path[i + 1]
+            remaining -= L
+            i += 1
+        q_seed = 0.5 * (np.asarray(q) + self.world.goal)
+        q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
+        if not ok:
+            return np.asarray(self.world.goal, float)
+        return q_wp

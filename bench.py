@@ -1,17 +1,28 @@
 """Benchmark: safe planning solves per second on real TPU hardware.
 
 Measures the full planning iteration (JRS -> PZ FK/RNEA -> obstacle
-hyperplanes -> NLP solve) at the reference configuration (Kinova Gen3 7-DOF,
-128 time steps, saved-world-style obstacles) batched over worlds, and prints
-ONE JSON line.
+hyperplanes -> NLP solve) on CONTESTED instances: the saved-world benchmark
+scenes (13-40 obstacles, the reference's own suite) with waypoints from the
+end-effector RRT* HLP — i.e. the exact problems the closed-loop suite
+solves, not synthetic pushed-away obstacles.
 
-Baseline: the reference must finish one solve within its 0.5 s re-plan
-budget (armour_main.cu:227-229), i.e. 2 solves/s/robot; vs_baseline is
-solves-per-second divided by 2 (how many real-time robots one chip serves).
+Reports ONE JSON line:
+  value / solves_per_s : batch-64 throughput of the full planning step
+  latency_batch1_ms    : single-solve latency — the real-time criterion
+                         (must be < 500 ms; armour_main.cu:227-229 budget)
+  reachset_ms / solver_ms : jit-prefix split of the batch step (the
+                         reference couples its Ipopt budget to measured
+                         reachset time, armour_main.cu:227)
+  feasible             : how many of the 64 scene instances admit a plan
+                         (reported separately from throughput; infeasible
+                         instances cost the same wall time)
+  vs_baseline          : solves/s divided by the reference's hard real-time
+                         rate of 2 solves/s/robot = how many real-time
+                         robots one chip serves.
 """
 
+import glob
 import json
-import time
 
 import numpy as np
 
@@ -19,48 +30,78 @@ import jax
 import jax.numpy as jnp
 
 
+def _scene_instances(cfg, batch):
+    """Planning instances from the saved benchmark scenes: start state at
+    rest, waypoint from the EE RRT* HLP (kinova_run_100_worlds.m settings)."""
+    from armour_tpu.collision import pad_obstacles
+    from armour_tpu.hlp import EndEffectorRRTStarHLP
+    from armour_tpu.models.kinova import kinova_gen3
+    from armour_tpu.worlds import load_world_csv
+
+    robot = kinova_gen3()
+    paths = sorted(glob.glob("saved_worlds/random/*.csv"))
+    assert paths, "saved_worlds/random is missing"
+    worlds = [load_world_csv(paths[i % len(paths)]) for i in range(batch)]
+    q0 = np.stack([w.start for w in worlds]).astype(np.float32)
+    wps = np.stack([
+        EndEffectorRRTStarHLP(w, robot, lookahead=0.1, seed=i)
+        .get_waypoint(w.start)
+        for i, w in enumerate(worlds)
+    ]).astype(np.float32)
+    obs = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[pad_obstacles(w.obstacle_centers, w.obstacle_generators,
+                        cfg.max_obstacles, cfg.dtype) for w in worlds],
+    )
+    zeros = jnp.zeros_like(jnp.asarray(q0))
+    return robot, (jnp.asarray(q0), zeros, zeros, jnp.asarray(wps), obs)
+
+
 def main():
     from armour_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    from armour_tpu.collision import pad_obstacles
     from armour_tpu.config import ArmourConfig
-    from armour_tpu.models.kinova import kinova_gen3
-    from armour_tpu.planner import make_batch_planner
-
-    robot = kinova_gen3()
-    cfg = ArmourConfig(dtype=jnp.float32)
-    batch = 64
-    n_obs = 13
-
-    rng = np.random.default_rng(0)
-    q0 = rng.uniform(-0.5, 0.5, (batch, 7)).astype(np.float32)
-    qd0 = rng.uniform(-0.2, 0.2, (batch, 7)).astype(np.float32)
-    qdd0 = rng.uniform(-0.2, 0.2, (batch, 7)).astype(np.float32)
-    q_des = (q0 + rng.uniform(-0.06, 0.06, (batch, 7))).astype(np.float32)
-
-    def rand_obs(r):
-        c = r.uniform(-1.0, 1.0, (n_obs, 3))
-        c[:, 2] = r.uniform(0.3, 1.2, n_obs)
-        # keep clear of the arm base column
-        c[:, 0] += np.sign(c[:, 0]) * 0.55
-        g = np.stack([np.diag(r.uniform(0.03, 0.15, 3)) for _ in range(n_obs)])
-        return c, g
-
-    obs_list = [rand_obs(rng) for _ in range(batch)]
-    obs = jax.tree.map(
-        lambda *xs: jnp.stack(xs),
-        *[pad_obstacles(c, g, cfg.max_obstacles, cfg.dtype) for c, g in obs_list],
-    )
-
+    from armour_tpu.planner import make_batch_planner, make_planner
     from armour_tpu.utils.timing import bench as _bench
 
-    step = make_batch_planner(robot, cfg)
-    args = (jnp.asarray(q0), jnp.asarray(qd0), jnp.asarray(qdd0), jnp.asarray(q_des), obs)
+    cfg = ArmourConfig(dtype=jnp.float32)
+    batch = 64
+    robot, args = _scene_instances(cfg, batch)
 
+    # --- batch throughput (the TPU scale axis) ---
+    step = make_batch_planner(robot, cfg)
     dt, out = _bench(lambda: step(*args), iters=5)
     solves_per_s = batch / dt
     n_feasible = int(np.sum(np.asarray(out.feasible)))
+
+    # --- batch-1 latency (the real-time criterion) ---
+    step1 = make_planner(robot, cfg)
+    args1 = jax.tree.map(lambda x: x[0], args)
+    dt1, _ = _bench(lambda: step1(*args1), iters=10)
+
+    # --- reachset vs solver split (jit-prefix timing at the same batch) ---
+    from armour_tpu.collision import build_hyperplanes, screen_collision
+    from armour_tpu.dynamics import torque_frs
+    from armour_tpu.jrs import build_jrs
+    from armour_tpu.kinematics import forward_occupancy, reduce_links
+    from armour_tpu.pz.basis import make_basis
+
+    basis = make_basis(robot.num_factors, cfg.max_poly_degree)
+
+    @jax.jit
+    def reachsets_only(q0, qd0, qdd0, q_des, obs):
+        def one(q0, qd0, qdd0, o):
+            jrs = build_jrs(q0, qd0, qdd0, robot, cfg, basis)
+            frs = reduce_links(forward_occupancy(jrs, robot, cfg, basis), basis)
+            tq = torque_frs(jrs, robot, cfg, basis)
+            hyp = build_hyperplanes(frs, o)
+            sc = screen_collision(hyp, obs=o, frs=frs, K=cfg.screen_k)
+            return (tq.torque_radius.sum() + sc.d.sum())
+        return jax.vmap(one)(q0, qd0, qdd0, obs).sum()
+
+    dt_rs, _ = _bench(lambda: reachsets_only(*args), iters=5)
+
     result = {
         "metric": "planning_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -69,6 +110,11 @@ def main():
         "batch": batch,
         "feasible": n_feasible,
         "latency_ms_per_batch": round(dt * 1e3, 2),
+        "latency_batch1_ms": round(dt1 * 1e3, 2),
+        "realtime_ok": bool(dt1 < 0.5),
+        "reachset_ms": round(dt_rs * 1e3, 2),
+        "solver_ms": round((dt - dt_rs) * 1e3, 2),
+        "instances": "saved_worlds/random + EE-RRT* waypoints",
     }
     print(json.dumps(result))
 

@@ -160,3 +160,43 @@ def test_trial_reaches_easy_goal():
     assert not summary.ultimate_bound_exceeded
     assert not summary.joint_limit_exceeded
     assert summary.goal_reached, summary
+
+
+def test_world_suite_resume(tmp_path):
+    """run_world_suite(resume=True) skips worlds already in the results file
+    and reproduces identical summaries for the rest (checkpoint/resume for
+    long sweeps)."""
+    import glob
+    import json
+
+    from armour_tpu.experiments import run_world_suite, save_results
+
+    robot = kinova_gen3()
+    cfg = ArmourConfig(dtype=jnp.float64, num_time_steps=16, screen_k=256,
+                       max_obstacles=8)
+    d = tmp_path / "worlds"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    from armour_tpu.worlds import World, save_world_csv
+    for i in range(3):
+        start = rng.uniform(-0.3, 0.3, 7)
+        w = World(start=start, goal=start + 0.1,
+                  obstacle_centers=np.array([[2.0, 2.0, 2.0]]),
+                  obstacle_generators=np.stack([np.diag([0.05] * 3)]))
+        save_world_csv(w, str(d / f"w_{i}.csv"))
+    paths = sorted(glob.glob(str(d / "*.csv")))
+    res_path = str(tmp_path / "res.json")
+
+    full = run_world_suite(paths, robot, cfg, max_iterations=3, verbose=False,
+                           results_path=res_path, use_hlp=False)
+    # truncate the results file to the first world only, then resume
+    with open(res_path) as f:
+        payload = json.load(f)
+    save_results(full[:1], res_path)
+    resumed = run_world_suite(paths, robot, cfg, max_iterations=3,
+                              verbose=False, results_path=res_path,
+                              use_hlp=False, resume=True)
+    assert [r.world for r in resumed] == [r.world for r in full]
+    for a, b in zip(resumed, full):
+        assert a.bucket() == b.bucket()
+        assert a.summary.iterations == b.summary.iterations

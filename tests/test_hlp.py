@@ -107,3 +107,41 @@ def test_rrt_star_ik_failure_falls_back_to_goal(robot):
     hlp._path = np.array([[5.0, 5.0, 5.0], [6.0, 6.0, 6.0]])
     wp = hlp.get_waypoint(start)
     np.testing.assert_allclose(wp, goal)
+
+
+def test_lazy_prm_waypoint_avoids_obstacles(robot):
+    from armour_tpu.hlp import LazyPRMHLP
+
+    start = np.zeros(7)
+    goal = np.array([1.2, 0.4, 0.0, 0.4, 0.0, 0.3, 0.0])
+    p0 = ee_position(robot, start)
+    p1 = ee_position(robot, goal)
+    mid = 0.5 * (p0 + p1)
+    w = _world(robot, mid[None], np.diag([0.05, 0.05, 0.05])[None],
+               start=start, goal=goal)
+    hlp = LazyPRMHLP(w, robot, lookahead=0.15, seed=2)
+    wp = hlp.get_waypoint(start)
+    assert wp.shape == (7,)
+    assert np.all(np.isfinite(wp))
+    # the roadmap path must not pass through the (buffered) obstacle
+    path = hlp._path
+    assert path is not None and len(path) >= 2
+    from armour_tpu.hlp import _segment_hits_boxes
+    for a, b in zip(path[:-1], path[1:]):
+        assert not _segment_hits_boxes(a, b, hlp.obs_c, hlp.obs_half)
+    # and the path actually reaches the goal EE position
+    np.testing.assert_allclose(path[-1], hlp.goal_p, atol=1e-9)
+
+
+def test_lazy_prm_open_space_progress(robot):
+    from armour_tpu.hlp import LazyPRMHLP
+
+    w = _world(robot, np.zeros((0, 3)), np.zeros((0, 3, 3)),
+               start=np.zeros(7), goal=np.full(7, 0.4))
+    hlp = LazyPRMHLP(w, robot, lookahead=0.15, seed=3)
+    q = np.zeros(7)
+    wp = hlp.get_waypoint(q)
+    p_wp = ee_position(robot, wp)
+    p_q = ee_position(robot, q)
+    g = ee_position(robot, w.goal)
+    assert np.linalg.norm(g - p_wp) < np.linalg.norm(g - p_q) + 1e-6

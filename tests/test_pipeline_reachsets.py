@@ -184,11 +184,20 @@ def test_rnea_interval_contains_com_uncertainty(jrs):
 
 
 def test_rnea_close_to_faithful_oracle(jrs):
-    """BPZ RNEA vs the threshold-pruning sparse oracle (reference-faithful):
-    sliced bands must overlap consistently and radii stay comparable."""
+    """BPZ RNEA vs the sparse monomial-list oracle at a near-exact pruning
+    threshold (1e-5): the two implementations track completely different
+    representations (dense static k-basis + outward rounding vs sparse
+    per-variable-group monomials), so tight agreement here pins BOTH.
+
+    Measured on this fixture: worst sliced-center difference 2.4e-5, worst
+    radius ratio 1.096 — asserted at 4x those (1e-4 / 1.2x, the VERDICT
+    round-2 item-9 target).  The center difference is bounded by the pruned
+    coefficient mass (threshold * n_monomials), NOT by numerics: at
+    threshold=0 the sparse lists blow up combinatorially, so 1e-5 is the
+    practical exactness floor."""
     t = CFG.num_time_steps // 2
     oj = jrs_to_oracle(jrs, ROBOT, BASIS, t)
-    otau = oracle_rnea(oj, ROBOT, uncertain=False, threshold=CFG.simplify_threshold)
+    otau = oracle_rnea(oj, ROBOT, uncertain=False, threshold=1e-5)
     u_nom = dynamics.rnea_pz(jrs, ROBOT, CFG, BASIS, uncertain=False)
     rng = np.random.default_rng(6)
     for _ in range(5):
@@ -198,7 +207,7 @@ def test_rnea_close_to_faithful_oracle(jrs):
             oc, orad = otau[i].slice_at(k)
             pz = bpz.BPZ(u_nom.coef[t, i], u_nom.egen[t, i], u_nom.rad[t, i])
             dc, drad = bpz.slice_at(pz, phi)
-            # sliced centers agree to within the oracle's pruning slack
-            assert abs(float(dc) - float(oc)) <= 0.05 + 0.02 * abs(float(oc))
-            # radii within 2x of each other (tightness sanity)
-            assert float(drad) <= 2.0 * float(orad) + 0.05
+            assert abs(float(dc) - float(oc)) <= 1e-4, (i, float(dc), float(oc))
+            # dense-basis outward rounding may only ADD conservatism, and at
+            # most 20% of it on this pipeline
+            assert float(drad) <= 1.2 * float(orad) + 1e-6, (i, float(drad), float(orad))
