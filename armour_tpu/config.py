@@ -100,6 +100,7 @@ class ArmourConfig:
     # --- solver (replaces Ipopt; armour_main.cu:246-253) ---
     solver_outer_iters: int = 8        # augmented-Lagrangian outer updates
     solver_inner_iters: int = 6        # projected-Newton inner steps
+    solver_seeds: int = 4              # multi-start ALM descents (vmapped)
     screen_k: int = 4096               # collision rows kept in the hot loop
     solver_tol: float = 1e-4
     turn_off_input_constraints: bool = False

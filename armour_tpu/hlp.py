@@ -145,9 +145,16 @@ class EndEffectorRRTStarHLP:
                  buffer: float = 0.05, bounds_radius: float = 1.1,
                  max_nodes: int = 400, steer: float = 0.15,
                  goal_bias: float = 0.2, rewire_radius: float = 0.25,
-                 seed: int = 0):
+                 seed: int = 0, grow_mode: str = "keep"):
+        """grow_mode: 'keep' grows the tree once from the start and walks the
+        stored path on every call; 'new' re-grows from the CURRENT end-
+        effector position at every replan (HLP_grow_tree_mode='new' in
+        kinova_run_100_worlds.m:54) — costlier but recovers when the arm has
+        drifted off the stored path."""
+        assert grow_mode in ("keep", "new"), grow_mode
         self.world = world
         self.robot = robot
+        self.grow_mode = grow_mode
         self.lookahead = lookahead
         self.rng = np.random.default_rng(seed)
         self.max_nodes = max_nodes
@@ -222,7 +229,7 @@ class EndEffectorRRTStarHLP:
         """Configuration waypoint: walk the EE path a lookahead distance from
         the current EE position, then IK (reference get_waypoint)."""
         p_now = ee_position(self.robot, q)
-        if self._path is None:
+        if self._path is None or self.grow_mode == "new":
             self._grow(p_now)
         path = self._path
         # closest path point, then walk lookahead arclength forward
@@ -239,6 +246,13 @@ class EndEffectorRRTStarHLP:
             z = path[i + 1]
             remaining -= L
             i += 1
+        if remaining > 0:
+            # walked off the path end: the EE is basically at the goal EE.
+            # IK there has many wrong-branch solutions (the arm can hold the
+            # goal EE position in a non-goal configuration forever); hand
+            # over to the goal CONFIGURATION so the planner closes the
+            # config-space distance the goal check actually measures.
+            return np.asarray(self.world.goal, float)
         q_seed = 0.5 * (np.asarray(q) + self.world.goal)
         q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
         if not ok:
@@ -509,6 +523,10 @@ class LazyPRMHLP:
             z = path[i + 1]
             remaining -= L
             i += 1
+        if remaining > 0:
+            # off the path end -> hand over to the goal configuration (see
+            # EndEffectorRRTStarHLP.get_waypoint)
+            return np.asarray(self.world.goal, float)
         q_seed = 0.5 * (np.asarray(q) + self.world.goal)
         q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
         if not ok:

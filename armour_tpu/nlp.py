@@ -350,16 +350,49 @@ def _stack_thresholds(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
 
 def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
           k0=None) -> SolveResult:
-    """Jittable ALM solve.  Returns k (NaN if infeasible, mirroring the
-    reference's braking-fallback contract, armour_main.cu:324-332).
+    """Jittable multi-start ALM solve.  Returns k (NaN if infeasible,
+    mirroring the reference's braking-fallback contract,
+    armour_main.cu:324-332).
 
-    Tracks the best feasible iterate across outer iterations (the
-    reference's "best feasible point under budget" semantics,
-    NLPclass.cu:422-538): an iterate that was feasible at an earlier outer
-    step is kept if the final iterate drifted infeasible or is costlier."""
+    The constraint landscape is nonconvex (obstacle walls cut the k-box), so
+    a single ALM descent can park in a poor basin while half the box is
+    feasible (observed on the 100-world suite).  cfg.solver_seeds starts are
+    run as ONE vmapped program — k=0 (the continue/rest plan), the
+    waypoint-directed k (clipped wrap(q_des - q0)/k_range), and +-0.5 of it
+    — and the best feasible result wins."""
     dt = prob.q_des.dtype
     F = prob.q_des.shape[-1]
-    k = jnp.zeros((F,), dt) if k0 is None else jnp.asarray(k0, dt)
+
+    if k0 is None:
+        # waypoint-directed seed: the k whose trajectory ENDS at q_des
+        # (bezier end state q0 + k_act; armtd: reachable displacement ~
+        # qd0*tp + 0.5 k tp^2 — same direction heuristic works)
+        diff = prob.q_des - prob.traj.q0
+        cont = jnp.asarray(robot.continuous_joints)
+        diff = jnp.where(cont, wrap_to_pi(diff), diff)
+        k_wp = jnp.clip(diff / prob.traj.k_scale, -1.0, 1.0).astype(dt)
+        seeds = [jnp.zeros((F,), dt), k_wp, 0.5 * k_wp, -0.5 * k_wp]
+        seeds = jnp.stack(seeds[: max(1, cfg.solver_seeds)])
+    else:
+        seeds = jnp.asarray(k0, dt)[None]
+
+    results = jax.vmap(lambda s: _solve_single(prob, robot, cfg, basis, s))(seeds)
+    # best feasible across starts; else the lowest-cost (infeasible) one
+    cost_rank = jnp.where(results.feasible, results.cost, jnp.inf)
+    any_feas = jnp.any(results.feasible)
+    i = jnp.where(any_feas, jnp.argmin(cost_rank), jnp.argmin(results.cost))
+    return SolveResult(k=results.k[i], feasible=results.feasible[i],
+                       cost=results.cost[i])
+
+
+def _solve_single(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
+                  basis: KBasis, k0) -> SolveResult:
+    """One ALM descent from seed k0, with best-feasible tracking at every
+    line-search candidate and a final feasibility pull-in (Ipopt's "best
+    feasible point under budget" semantics, NLPclass.cu:422-538)."""
+    dt = prob.q_des.dtype
+    F = prob.q_des.shape[-1]
+    k = jnp.asarray(k0, dt)
 
     cost_fn = lambda kk: plan_cost(kk, prob.traj, prob.q_des, robot, cfg)
     cost_grad = jax.grad(cost_fn)
@@ -381,10 +414,19 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     def penalty(cc, lam, rho):
         return jnp.sum(jnp.where(lam + rho * cc > 0, (lam + rho * cc) ** 2, 0.0)) / (2 * rho)
 
-    def inner_step(k, lam, rho):
+    def track_best(kk, cc, best_k, best_cost):
+        """Fold a candidate into the best-feasible tracker (cc = its already-
+        computed clipped stack)."""
+        feas = jnp.all(cc <= thr)
+        cost_kk = cost_fn(kk)
+        better = feas & (cost_kk < best_cost)
+        return jnp.where(better, kk, best_k), jnp.where(better, cost_kk, best_cost)
+
+    def inner_step(carry, lam, rho):
         # ONE constraint-stack pass yields c, Jc AND the current merit m0
         # (the reference re-slices everything per Ipopt iteration too,
         # NLPclass.cu:304-315; round-1 did 5 stack passes per inner step)
+        k, best_k, best_cost = carry
         c, Jc = constraint_stack(k, prob, robot, cfg, basis, with_grad=True)
         c = clip_big(c)
         act = (lam + rho * c) > 0.0                       # active set
@@ -397,33 +439,43 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
         step = jax.scipy.linalg.cho_solve(chol, g)
 
         m0 = cost_fn(k) + penalty(c, lam, rho)
+        best_k, best_cost = track_best(k, c, best_k, best_cost)
 
         def try_alpha(alpha):
             kk = jnp.clip(k - alpha * step, -1.0, 1.0)
             cc = clip_big(constraint_stack(kk, prob, robot, cfg, basis, with_grad=False)[0])
-            return kk, cost_fn(kk) + penalty(cc, lam, rho)
+            return kk, cost_fn(kk) + penalty(cc, lam, rho), cc
 
-        alphas = jnp.asarray([1.0, 0.2], dt)
-        kks, merits = jax.vmap(try_alpha)(alphas)
+        # geometric backtracking ladder: from a feasible iterate with a
+        # blocked full step (obstacle wall across the descent direction) a
+        # SMALL enough alpha always reduces the merit (cost falls linearly,
+        # penalty stays 0 while feasible); with only {1.0, 0.2} both trials
+        # could land past the wall and the solver froze at its seed
+        # (observed: k=0 returned while 50% of the k-box was feasible)
+        alphas = jnp.asarray([1.0, 0.25, 0.0625, 0.015625], dt)
+        kks, merits, ccs = jax.vmap(try_alpha)(alphas)
+        # every line-search candidate is also a best-feasible candidate —
+        # transiently-feasible iterates must not be lost (a boundary optimum
+        # is typically approached from the infeasible side, so the final
+        # iterate alone often fails the threshold check by epsilon)
+        for a in range(alphas.shape[0]):
+            best_k, best_cost = track_best(kks[a], ccs[a], best_k, best_cost)
         best = jnp.argmin(merits)
         k_new = jnp.where(merits[best] < m0, kks[best], k)
-        return k_new
+        return (k_new, best_k, best_cost)
 
     def outer(i, carry):
         k, lam, rho, best_k, best_cost = carry
-        k = jax.lax.fori_loop(
-            0, cfg.solver_inner_iters, lambda j, kk: inner_step(kk, lam, rho), k
+        k, best_k, best_cost = jax.lax.fori_loop(
+            0, cfg.solver_inner_iters,
+            lambda j, kk: inner_step(kk, lam, rho), (k, best_k, best_cost)
         )
         c, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
         c = clip_big(c)
         # proxy feasibility on the (already computed) stack; the screened
         # collision subset can miss an active row, so the winner is re-checked
         # against the FULL constraint set below — soundness is unaffected
-        proxy_feas = jnp.all(c <= thr)
-        cost_k = cost_fn(k)
-        better = proxy_feas & (cost_k < best_cost)
-        best_k = jnp.where(better, k, best_k)
-        best_cost = jnp.where(better, cost_k, best_cost)
+        best_k, best_cost = track_best(k, c, best_k, best_cost)
         lam = jnp.maximum(lam + rho * c, 0.0)
         rho = jnp.minimum(rho * 2.0, 1e6)
         return (k, lam, rho, best_k, best_cost)
@@ -437,6 +489,33 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     k, lam, rho, best_k, best_cost = jax.lax.fori_loop(
         0, cfg.solver_outer_iters, outer, (k, lam, rho0) + best0
     )
+
+    # feasibility pull-in: when the ALM terminates epsilon-OUTSIDE the
+    # feasible set (boundary optimum approached from the infeasible side),
+    # bisect along [best_k, k] for the deepest feasible point instead of
+    # falling back to the (often much costlier) best_k — without this, a
+    # blocked-but-feasible problem degenerates to returning the k=0 seed
+    # forever and the closed loop freezes in place.
+    def pull_in(lo_k, hi_k):
+        def body(j, seg):
+            lo, hi = seg
+            mid = 0.5 * (lo + hi)
+            cc = clip_big(constraint_stack(mid, prob, robot, cfg, basis,
+                                           with_grad=False)[0])
+            ok = jnp.all(cc <= thr)
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+        lo, _ = jax.lax.fori_loop(0, 6, body, (lo_k, hi_k))
+        return lo
+
+    c_end, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
+    end_feas = jnp.all(clip_big(c_end) <= thr)
+    have_seed = jnp.isfinite(best_cost)
+    pulled = pull_in(jnp.where(have_seed, best_k, k), k)
+    k_pull = jnp.where(~end_feas & have_seed, pulled, k)
+    cc_pull = clip_big(constraint_stack(k_pull, prob, robot, cfg, basis,
+                                        with_grad=False)[0])
+    best_k, best_cost = track_best(k_pull, cc_pull, best_k, best_cost)
 
     feas_final = is_feasible(k, prob, robot, cfg, basis)
     feas_best = is_feasible(best_k, prob, robot, cfg, basis) & jnp.isfinite(best_cost)

@@ -99,3 +99,55 @@ def test_infeasible_returns_nan():
     res = step(jnp.asarray(Q0), jnp.asarray(QD0), jnp.asarray(QDD0), jnp.asarray(Q_DES), obs)
     assert not bool(res.feasible)
     assert np.all(np.isnan(np.asarray(res.k)))
+
+
+def test_boundary_optimum_not_locked_to_seed():
+    """Regression: when the cost optimum sits ON a state-limit boundary the
+    ALM approaches it from the infeasible side and terminates epsilon
+    outside; the solver must pull the iterate back INTO the feasible set
+    (bisection toward the best feasible seed) instead of returning the k=0
+    seed — the k=0 fallback froze closed-loop trials in place forever
+    (observed on the 100-world suite, round 3)."""
+    import numpy as np
+
+    from armour_tpu import nlp
+    from armour_tpu.collision import (build_hyperplanes, pad_obstacles,
+                                      screen_collision)
+    from armour_tpu.dynamics import torque_frs
+    from armour_tpu.jrs import build_jrs
+    from armour_tpu.kinematics import forward_occupancy, reduce_links
+    from armour_tpu.models.kinova import kinova_gen3
+    from armour_tpu.pz.basis import make_basis
+
+    robot = kinova_gen3()
+    cfg = ArmourConfig(dtype=jnp.float64, num_time_steps=32, screen_k=512,
+                       max_obstacles=8)
+    basis = make_basis(7, 3)
+    obs = pad_obstacles(np.array([[2.0, 2.0, 2.0]]),
+                        np.stack([np.diag([0.05] * 3)]), 8, jnp.float64)
+    # joint 1 sits 0.02 rad below its shrunk position limit; the waypoint
+    # asks for +0.3 -> the optimum k rides the position-extremum boundary
+    q0v = np.zeros(7)
+    q0v[1] = robot.position_limits_ub[1] - cfg.ub.qe - 0.02
+    q0 = jnp.asarray(q0v)
+    z = jnp.zeros((7,), jnp.float64)
+    wp = q0.at[1].add(0.3)
+
+    jrs = build_jrs(q0, z, z, robot, cfg, basis)
+    frs = reduce_links(forward_occupancy(jrs, robot, cfg, basis), basis)
+    tq = torque_frs(jrs, robot, cfg, basis)
+    hyp = build_hyperplanes(frs, obs)
+    sc = screen_collision(hyp, obs, frs, cfg.screen_k)
+    prob = nlp.PlanProblem(traj=jrs.traj, q_des=wp, torque=tq, frs=frs,
+                           hyp=hyp, obs=obs, screened=sc)
+    res = nlp.solve(prob, robot, cfg, basis)
+    k = np.asarray(res.k)
+    cost_k0 = float(nlp.plan_cost(z, prob.traj, wp, robot, cfg))
+
+    assert bool(res.feasible)
+    # must make real progress toward the limit, not return the k=0 seed
+    assert k[1] > 0.15, k
+    assert float(res.cost) < cost_k0 - 1e-3
+    # and the returned plan must satisfy the TRUE limits
+    vt, vc, vs, vg = nlp.max_violations(jnp.asarray(k), prob, robot, cfg, basis)
+    assert float(vs) <= 1e-6
