@@ -61,20 +61,34 @@ def run_trials_batched(
     cfg: ArmourConfig,
     max_iterations: int = 500,   # kinova_run_100_worlds.m:64 max_sim_iter
     stop_threshold: int = 4,
-    lookahead: float = 0.4,
+    lookahead: float = 1.0,      # robot_arm_generic_planner.m:21 (config 2-norm)
     true_param_scale: Optional[float] = 1.0,
     seed: int = 0,
     goal_radius: float = np.pi / 30,
     verbose: bool = False,
-    use_hlp: bool = True,
+    use_hlp: bool = False,
     hlp_lookahead: float = 0.1,
+    stall_window: int = 25,
+    stall_progress: float = 0.05,
 ) -> List[TrialSummary]:
     """Run every world's closed-loop trial in lockstep (batched run_trial).
 
-    use_hlp: guide each world with a host-side end-effector RRT* waypoint
-    generator, the HLP the reference's 100-world benchmark runs
-    (kinova_run_100_worlds.m:148, lookahead_distance=0.1 at line 57);
-    False falls back to the straight-line waypoint."""
+    The default guidance is the straight-line config-space waypoint with the
+    reference's lookahead_distance = 1 rad — exactly what the reference's
+    100-world benchmark runs (kinova_run_100_worlds.m:51 if_use_RRT=false;
+    robot_arm_straight_line_HLP.m:45-57), computed on-device inside
+    plan_inputs (no host loop).  use_hlp=True swaps in the host-side
+    end-effector RRT* waypoint generator (the reference's optional
+    if_use_RRT=true branch) for contested scenes.
+
+    Stall fallback: a world whose goal distance improves by less than
+    `stall_progress` rad over `stall_window` consecutive iterations (the
+    straight config path is blocked by an obstacle, or plans keep failing on
+    the collision group) is handed to a per-world config-space RRT*
+    (hlp.ConfigRRTStarHLP) grown from its CURRENT configuration; a world
+    that stalls again regrows with a fresh seed.  The reference has no such
+    recovery (blocked straight-line worlds land in its 'stuck' bucket);
+    this is a capability win the stuck<=15 acceptance target asks for."""
     W = len(worlds)
     F = robot.num_factors
     dt = cfg.dtype
@@ -131,6 +145,16 @@ def run_trials_batched(
     stop_count = np.zeros(W, dtype=np.int64)
     iterations = np.zeros(W, dtype=np.int64)
     plan_times: List[float] = []
+    from .simulator import VIOL_GROUPS
+    blocked = np.zeros((W, len(VIOL_GROUPS)), dtype=np.int64)
+    gd_final = np.full(W, np.nan)
+    gd_min = np.full(W, np.inf)
+    # stall-fallback bookkeeping: per-world config-RRT* guidance, engaged
+    # when the straight-line waypoint stops making progress
+    fallback: List = [None] * W
+    fallback_regrows = np.zeros(W, dtype=np.int64)
+    stall_ref_gd = np.full(W, np.inf)      # best gd at the last stall check
+    stall_count = np.zeros(W, dtype=np.int64)
 
     q = starts
     qd = jnp.zeros_like(q)
@@ -140,14 +164,23 @@ def run_trials_batched(
 
     for it in range(max_iterations):
         q0, qd0, qdd0, waypoints = plan_inputs(ref)
-        if hlps is not None:
-            # host-side RRT* waypoints, only for still-active worlds
-            # (inactive worlds keep their last waypoint; results are masked)
+        if hlps is not None or any(f is not None for f in fallback):
+            # host-side waypoints, only for still-active worlds (inactive
+            # worlds keep their last waypoint; results are masked).  A
+            # world's stall-fallback config-RRT* takes precedence over the
+            # global HLP choice.
             q0h = np.asarray(q0, dtype=np.float64)
+            wp_np = np.asarray(waypoints, dtype=np.float64)
             for i in range(W):
-                if active[i]:
-                    wp_cache[i] = hlps[i].get_waypoint(q0h[i])
-            waypoints = jnp.asarray(wp_cache, dt)
+                if not active[i]:
+                    wp_np[i] = wp_cache[i]
+                    continue
+                gen = fallback[i] if fallback[i] is not None else (
+                    hlps[i] if hlps is not None else None)
+                if gen is not None:
+                    wp_np[i] = gen.get_waypoint(q0h[i])
+                wp_cache[i] = wp_np[i]
+            waypoints = jnp.asarray(wp_np, dt)
         t0 = time.perf_counter()
         res = planner(q0, qd0, qdd0, waypoints, obs)
         k = np.asarray(res.k)
@@ -155,6 +188,9 @@ def run_trials_batched(
 
         feas = np.all(np.isfinite(k), axis=-1)
         infeasible += (~feas) & active
+        grp = np.argmax(np.asarray(res.viol), axis=-1)        # [W]
+        rows = np.where((~feas) & active)[0]
+        blocked[rows, grp[rows]] += 1
         # freeze bookkeeping for inactive worlds: a finished world's masked
         # simulation must not reset or advance its stuck counter
         stop_count = np.where(active, np.where(feas, 0, stop_count + 1),
@@ -164,6 +200,27 @@ def run_trials_batched(
         q, qd, logs = rollout(q, qd, ref, tp)
         checks = jax.tree.map(np.asarray, oracles(logs, obs))
         reached = np.asarray(goal_reached(q))
+        gd = np.linalg.norm(
+            np.mod(np.asarray(q) - goals_np + np.pi, 2 * np.pi) - np.pi, axis=-1)
+        gd_final = np.where(active, gd, gd_final)
+        gd_min = np.where(active, np.minimum(gd_min, gd), gd_min)
+
+        # stall detection -> config-RRT* fallback guidance
+        progressed = gd_min < stall_ref_gd - stall_progress
+        stall_ref_gd = np.where(progressed, gd_min, stall_ref_gd)
+        stall_count = np.where(progressed | ~active, 0, stall_count + 1)
+        for i in np.where(active & (stall_count >= stall_window))[0]:
+            from .hlp import ConfigRRTStarHLP
+
+            fallback[i] = ConfigRRTStarHLP(
+                worlds[i], robot,
+                seed=seed + 7919 * (int(fallback_regrows[i]) + 1) + i)
+            fallback_regrows[i] += 1
+            stall_count[i] = 0
+            if verbose:
+                print(f"  world {i}: stalled at gd={gd[i]:.2f} -> "
+                      f"config-RRT* fallback #{int(fallback_regrows[i])}",
+                      flush=True)
 
         iterations += active
         for name in flags:
@@ -196,6 +253,12 @@ def run_trials_batched(
             iterations=int(iterations[i]),
             planning_times=per_iter[: int(iterations[i])],
             stuck=bool(stop_count[i] >= stop_threshold),
+            blocked_counts={g: int(blocked[i, j])
+                            for j, g in enumerate(VIOL_GROUPS)
+                            if blocked[i, j]},
+            goal_distance_final=float(gd_final[i]),
+            goal_distance_min=(float(gd_min[i]) if np.isfinite(gd_min[i])
+                               else float("nan")),
         )
         for i in range(W)
     ]

@@ -70,7 +70,7 @@ def run_world_suite(world_paths: Sequence[str], robot: RobotModel,
                     true_param_scale: Optional[float] = 1.0,
                     seed: int = 0, verbose: bool = True,
                     results_path: Optional[str] = None,
-                    use_hlp: bool = True,
+                    use_hlp: bool = False,
                     resume: bool = False) -> List[SuiteResult]:
     """resume=True: reload per-world results already present in results_path
     and skip those worlds — mid-run checkpoint/resume for long sweeps (the
@@ -244,6 +244,19 @@ def summarize(results: Sequence[SuiteResult]) -> dict:
         out["collision"] == 0 and out["torque"] == 0
         and out["ultimate_bound"] == 0 and out["joint_limit"] == 0
     )
+    # stuck attribution: which constraint group blocked the infeasible plans
+    # of stuck trials, and how close those trials got to the goal
+    blocked_total: dict = {}
+    stuck_gd = []
+    for r in results:
+        if r.bucket() == "stuck":
+            for g, c in (r.summary.blocked_counts or {}).items():
+                blocked_total[g] = blocked_total.get(g, 0) + c
+            if np.isfinite(r.summary.goal_distance_min):
+                stuck_gd.append(r.summary.goal_distance_min)
+    out["stuck_blocked_by"] = blocked_total
+    if stuck_gd:
+        out["stuck_goal_distance_min_mean"] = float(np.mean(stuck_gd))
     return out
 
 

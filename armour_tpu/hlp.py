@@ -86,18 +86,24 @@ def ee_position(robot: RobotModel, q: np.ndarray) -> np.ndarray:
 
 
 def ik_damped_ls(robot: RobotModel, target: np.ndarray, q0: np.ndarray,
-                 iters: int = 100, tol: float = 1e-4, damping: float = 1e-2):
+                 iters: int = 100, tol: float = 1e-4, damping: float = 1e-2,
+                 accept_tol: float = 1e-2):
     """Position-only damped least-squares IK (the HLP's counterpart of
     agent_info.inverse_kinematics, robot_arm_agent.m:946-1037 which uses
-    lsqnonlin).  Returns (q, converged)."""
+    lsqnonlin).  Levenberg-style adaptive damping: shrink on progress, grow
+    on a rejected step.  Returns (q, converged) — converged means the final
+    EE error is under `accept_tol` (waypoints are guidance, not certified
+    geometry, so cm-level acceptance is the right bar)."""
     q = np.asarray(q0, float).copy()
     F = robot.num_factors
     lb = np.where(robot.position_limits_lb < -100, -2 * np.pi, robot.position_limits_lb)
     ub = np.where(robot.position_limits_ub > 100, 2 * np.pi, robot.position_limits_ub)
+    lam = damping
+    p = ee_position(robot, q)
+    err = target - p
+    en = np.linalg.norm(err)
     for _ in range(iters):
-        p = ee_position(robot, q)
-        err = target - p
-        if np.linalg.norm(err) < tol:
+        if en < tol:
             return q, True
         # numeric Jacobian (3 x F); F is tiny so finite differences are cheap
         J = np.zeros((3, F))
@@ -107,9 +113,18 @@ def ik_damped_ls(robot: RobotModel, target: np.ndarray, q0: np.ndarray,
             dq[j] += h
             J[:, j] = (ee_position(robot, dq) - p) / h
         JT = J.T
-        step = JT @ np.linalg.solve(J @ JT + damping * np.eye(3), err)
-        q = np.clip(q + step, lb, ub)
-    return q, bool(np.linalg.norm(target - ee_position(robot, q)) < 10 * tol)
+        step = JT @ np.linalg.solve(J @ JT + lam * np.eye(3), err)
+        q_new = np.clip(q + step, lb, ub)
+        p_new = ee_position(robot, q_new)
+        en_new = np.linalg.norm(target - p_new)
+        if en_new < en:
+            q, p, err, en = q_new, p_new, target - p_new, en_new
+            lam = max(lam * 0.5, 1e-6)
+        else:
+            lam = min(lam * 4.0, 1e3)
+            if lam >= 1e3:
+                break
+    return q, bool(en < accept_tol)
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +150,41 @@ class _Tree:
     nodes: list
     parents: list
     costs: list
+
+
+def _walk_path(path: np.ndarray, p_now: np.ndarray, lookahead: float):
+    """Project p_now onto the polyline (closest point on SEGMENTS — the
+    round-3 walk used closest node, which can sit behind the current
+    position and freeze the waypoint at the current state), then walk
+    `lookahead` arclength forward.  Returns (z, walked_off)."""
+    if len(path) < 2:
+        return path[-1], True
+    a = path[:-1]
+    seg = path[1:] - a                     # [S, D]
+    L2 = np.einsum("sd,sd->s", seg, seg)
+    t = np.clip(np.einsum("sd,sd->s", p_now[None, :] - a, seg)
+                / np.maximum(L2, 1e-18), 0.0, 1.0)
+    proj = a + t[:, None] * seg
+    d = np.linalg.norm(proj - p_now[None, :], axis=1)
+    s = int(np.argmin(d))
+    remaining = lookahead
+    # finish the projected segment first
+    Ls = np.sqrt(L2[s])
+    frac_left = (1.0 - t[s]) * Ls
+    if frac_left >= remaining and Ls > 1e-12:
+        return proj[s] + seg[s] * (remaining / Ls), False
+    remaining -= frac_left
+    i = s + 1
+    z = path[s + 1]
+    while i + 1 < len(path) and remaining > 0:
+        segi = path[i + 1] - path[i]
+        Li = np.linalg.norm(segi)
+        if Li >= remaining and Li > 1e-12:
+            return path[i] + segi * (remaining / Li), False
+        z = path[i + 1]
+        remaining -= Li
+        i += 1
+    return z, remaining > 0
 
 
 class EndEffectorRRTStarHLP:
@@ -170,6 +220,11 @@ class EndEffectorRRTStarHLP:
         self.obs_half = (np.abs(gens).sum(axis=2) + buffer) if len(gens) else gens.reshape(0, 3)
         self._tree: Optional[_Tree] = None
         self._path: Optional[np.ndarray] = None
+        self._reaches_goal = False
+        self._regrows_left = 2
+        # hand over to the goal configuration once the EE is this close to
+        # the goal EE position (config-space endgame; see get_waypoint)
+        self.goal_handover = max(2.0 * lookahead, 0.15)
 
     def _grow(self, root: np.ndarray):
         t = _Tree(nodes=[root], parents=[-1], costs=[0.0])
@@ -213,6 +268,7 @@ class EndEffectorRRTStarHLP:
                     best_goal = new_i
         self._tree = t
         # extract path root -> best node (falls back to closest-to-goal node)
+        self._reaches_goal = best_goal is not None
         if best_goal is None:
             nodes = np.asarray(t.nodes)
             best_goal = int(np.argmin(np.linalg.norm(nodes - self.goal_p[None, :], axis=1)))
@@ -231,30 +287,29 @@ class EndEffectorRRTStarHLP:
         p_now = ee_position(self.robot, q)
         if self._path is None or self.grow_mode == "new":
             self._grow(p_now)
-        path = self._path
-        # closest path point, then walk lookahead arclength forward
-        d = np.linalg.norm(path - p_now[None, :], axis=1)
-        i = int(np.argmin(d))
-        remaining = self.lookahead
-        z = path[i]
-        while i + 1 < len(path) and remaining > 0:
-            seg = path[i + 1] - path[i]
-            L = np.linalg.norm(seg)
-            if L >= remaining:
-                z = path[i] + seg * (remaining / L)
-                break
-            z = path[i + 1]
-            remaining -= L
-            i += 1
-        if remaining > 0:
-            # walked off the path end: the EE is basically at the goal EE.
-            # IK there has many wrong-branch solutions (the arm can hold the
-            # goal EE position in a non-goal configuration forever); hand
-            # over to the goal CONFIGURATION so the planner closes the
-            # config-space distance the goal check actually measures.
+        # the stored path never reached the goal EE: regrow denser (up to 2x
+        # twice) from the CURRENT position — a truncated path parks the arm
+        # at its dead end otherwise
+        while not self._reaches_goal and self._regrows_left > 0:
+            self.max_nodes *= 2
+            self._regrows_left -= 1
+            self._grow(p_now)
+        z, walked_off = _walk_path(self._path, p_now, self.lookahead)
+        if walked_off or np.linalg.norm(p_now - self.goal_p) < self.goal_handover:
+            # at/near the EE goal: IK there has many wrong-branch solutions
+            # (the arm can hold the goal EE position in a non-goal
+            # configuration forever); hand over to the goal CONFIGURATION so
+            # the planner closes the config-space distance the goal check
+            # actually measures.
             return np.asarray(self.world.goal, float)
-        q_seed = 0.5 * (np.asarray(q) + self.world.goal)
-        q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
+        # the waypoint EE is only ~lookahead from the current EE, so the
+        # current configuration is the natural IK seed; fall back to the
+        # start/goal midpoint seed, then to the goal configuration
+        # (reference exitflag<0 branch)
+        q_wp, ok = ik_damped_ls(self.robot, z, np.asarray(q, float))
+        if not ok:
+            q_seed = 0.5 * (np.asarray(q) + self.world.goal)
+            q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
         if not ok:
             return np.asarray(self.world.goal, float)
         return q_wp
@@ -379,7 +434,7 @@ class ConfigRRTStarHLP:
 
     def get_waypoint(self, q: np.ndarray) -> np.ndarray:
         """Walk the configuration path `lookahead` rad (arclength) forward of
-        the closest path point to q."""
+        the projection of q onto the path."""
         q = np.asarray(q, float)
         if self._path is None:
             self._grow(q)
@@ -387,19 +442,9 @@ class ConfigRRTStarHLP:
         if len(path) < 2:
             return straight_line_waypoint(q, self.goal, self.lookahead,
                                           continuous=self.robot.continuous_joints)
-        d = np.linalg.norm(path - q[None, :], axis=1)
-        i = int(np.argmin(d))
-        remaining = self.lookahead
-        z = path[i]
-        while i + 1 < len(path) and remaining > 0:
-            seg = path[i + 1] - path[i]
-            L = np.linalg.norm(seg)
-            if L >= remaining:
-                z = path[i] + seg * (remaining / L)
-                break
-            z = path[i + 1]
-            remaining -= L
-            i += 1
+        z, walked_off = _walk_path(path, q, self.lookahead)
+        if walked_off:
+            return np.asarray(self.goal, float)
         return np.asarray(z, float)
 
 
@@ -509,26 +554,20 @@ class LazyPRMHLP:
         p_now = ee_position(self.robot, q)
         if self._path is None:
             self._build(p_now)
-        path = self._path
-        d = np.linalg.norm(path - p_now[None, :], axis=1)
-        i = int(np.argmin(d))
-        remaining = self.lookahead
-        z = path[i]
-        while i + 1 < len(path) and remaining > 0:
-            seg = path[i + 1] - path[i]
-            L = np.linalg.norm(seg)
-            if L >= remaining:
-                z = path[i] + seg * (remaining / L)
-                break
-            z = path[i + 1]
-            remaining -= L
-            i += 1
-        if remaining > 0:
-            # off the path end -> hand over to the goal configuration (see
-            # EndEffectorRRTStarHLP.get_waypoint)
+        z, walked_off = _walk_path(self._path, p_now, self.lookahead)
+        if walked_off or np.linalg.norm(p_now - self.goal_p) < \
+                max(2.0 * self.lookahead, 0.15):
+            # off the path end / near the EE goal -> hand over to the goal
+            # configuration (see EndEffectorRRTStarHLP.get_waypoint)
             return np.asarray(self.world.goal, float)
-        q_seed = 0.5 * (np.asarray(q) + self.world.goal)
-        q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
+        # the waypoint EE is only ~lookahead from the current EE, so the
+        # current configuration is the natural IK seed; fall back to the
+        # start/goal midpoint seed, then to the goal configuration
+        # (reference exitflag<0 branch)
+        q_wp, ok = ik_damped_ls(self.robot, z, np.asarray(q, float))
+        if not ok:
+            q_seed = 0.5 * (np.asarray(q) + self.world.goal)
+            q_wp, ok = ik_damped_ls(self.robot, z, q_seed)
         if not ok:
             return np.asarray(self.world.goal, float)
         return q_wp

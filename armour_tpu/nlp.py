@@ -317,13 +317,19 @@ def is_feasible(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
 
 @dataclasses.dataclass
 class SolveResult:
+    """viol: per-group max violations [torque, collision, state, grasp] at
+    the returned candidate (the feasible k, or the best attempt when
+    infeasible) — the per-trial attribution the suite records so a stuck
+    outcome names the constraint group that blocked it (VERDICT r3 #2)."""
+
     k: jnp.ndarray
     feasible: jnp.ndarray
     cost: jnp.ndarray
+    viol: jnp.ndarray
 
 
 jax.tree_util.register_dataclass(
-    SolveResult, data_fields=["k", "feasible", "cost"], meta_fields=[]
+    SolveResult, data_fields=["k", "feasible", "cost", "viol"], meta_fields=[]
 )
 
 
@@ -372,7 +378,15 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
         diff = jnp.where(cont, wrap_to_pi(diff), diff)
         k_wp = jnp.clip(diff / prob.traj.k_scale, -1.0, 1.0).astype(dt)
         seeds = [jnp.zeros((F,), dt), k_wp, 0.5 * k_wp, -0.5 * k_wp]
-        seeds = jnp.stack(seeds[: max(1, cfg.solver_seeds)])
+        n_seeds = max(1, cfg.solver_seeds)
+        if n_seeds > len(seeds):
+            # extend with scaled waypoint directions so solver_seeds > 4
+            # actually adds starts instead of silently capping at 4
+            extra = [(0.25 + 0.75 * j / max(1, n_seeds - len(seeds))) *
+                     (-1.0 if j % 2 else 1.0) * k_wp
+                     for j in range(n_seeds - len(seeds))]
+            seeds = seeds + extra
+        seeds = jnp.stack(seeds[:n_seeds])
     else:
         seeds = jnp.asarray(k0, dt)[None]
 
@@ -382,7 +396,7 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     any_feas = jnp.any(results.feasible)
     i = jnp.where(any_feas, jnp.argmin(cost_rank), jnp.argmin(results.cost))
     return SolveResult(k=results.k[i], feasible=results.feasible[i],
-                       cost=results.cost[i])
+                       cost=results.cost[i], viol=results.viol[i])
 
 
 def _solve_single(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
@@ -517,12 +531,27 @@ def _solve_single(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
                                         with_grad=False)[0])
     best_k, best_cost = track_best(k_pull, cc_pull, best_k, best_cost)
 
-    feas_final = is_feasible(k, prob, robot, cfg, basis)
-    feas_best = is_feasible(best_k, prob, robot, cfg, basis) & jnp.isfinite(best_cost)
+    def viol_vec(kk):
+        v_t, v_c, v_s, v_g = max_violations(kk, prob, robot, cfg, basis)
+        return jnp.stack([v_t, v_c, v_s, v_g])
+
+    def viol_feasible(v):
+        return (
+            (v[0] <= cfg.torque_violation_threshold)
+            & (v[1] <= cfg.collision_violation_threshold)
+            & (v[2] <= 1e-6)
+            & (v[3] <= cfg.grasp_violation_threshold)
+        )
+
+    v_final = viol_vec(k)
+    v_best = viol_vec(best_k)
+    feas_final = viol_feasible(v_final)
+    feas_best = viol_feasible(v_best) & jnp.isfinite(best_cost)
     cost_final = cost_fn(k)
     use_best = feas_best & ((~feas_final) | (best_cost < cost_final))
     k_sel = jnp.where(use_best, best_k, k)
     feasible = feas_final | feas_best
     cost = jnp.where(use_best, best_cost, cost_final)
     k_out = jnp.where(feasible, k_sel, jnp.nan)
-    return SolveResult(k=k_out, feasible=feasible, cost=cost)
+    viol = jnp.where(use_best, v_best, v_final)
+    return SolveResult(k=k_out, feasible=feasible, cost=cost, viol=viol)

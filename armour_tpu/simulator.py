@@ -265,6 +265,9 @@ def make_oracles(robot: RobotModel, cfg: ArmourConfig):
 # ---------------------------------------------------------------------------
 
 
+VIOL_GROUPS = ("torque", "collision", "state", "grasp")
+
+
 @dataclasses.dataclass
 class TrialSummary:
     goal_reached: bool
@@ -276,6 +279,11 @@ class TrialSummary:
     iterations: int
     planning_times: list
     stuck: bool
+    # --- per-trial attribution (VERDICT r3 #2): which constraint group had
+    # the max violation on each infeasible plan, and goal-distance progress
+    blocked_counts: dict = dataclasses.field(default_factory=dict)
+    goal_distance_final: float = float("nan")
+    goal_distance_min: float = float("nan")
 
 
 def run_trial(
@@ -287,7 +295,7 @@ def run_trial(
     true_params: TrueParams,
     max_iterations: int = 100,
     stop_threshold: int = 4,
-    lookahead: float = 0.4,
+    lookahead: float = 1.0,      # robot_arm_generic_planner.m:21
     verbose: bool = False,
     rollout=None,
     oracles=None,
@@ -324,6 +332,13 @@ def run_trial(
     plan_times = []
     goal = False
     it = 0
+    blocked_counts: dict = {}
+    gd_min = float("inf")
+    gd = float("nan")
+
+    def _goal_distance(qq):
+        d = np.mod(np.asarray(qq) - world.goal + np.pi, 2 * np.pi) - np.pi
+        return float(np.linalg.norm(d))
 
     for it in range(max_iterations):
         # plan from the REFERENCE state at the end of the last move
@@ -344,9 +359,13 @@ def run_trial(
         else:
             infeasible += 1
             stop_count += 1
+            grp = VIOL_GROUPS[int(np.argmax(np.asarray(res.viol)))]
+            blocked_counts[grp] = blocked_counts.get(grp, 0) + 1
         ref = advance_plan(ref, jnp.asarray(k, dt_ref), q0, qd0, qdd0, cfg)
 
         q, qd, logs = rollout(q, qd, ref, true_params)
+        gd = _goal_distance(q)
+        gd_min = min(gd_min, gd)
         checks = jax.tree.map(bool, oracles(logs, obs))
         if trace is not None:
             for name in ("q", "qd", "u", "q_des", "qd_des"):
@@ -372,6 +391,9 @@ def run_trial(
         iterations=it + 1,
         planning_times=plan_times,
         stuck=(stop_count >= stop_threshold),
+        blocked_counts=blocked_counts,
+        goal_distance_final=gd,
+        goal_distance_min=(gd_min if np.isfinite(gd_min) else float("nan")),
         **flags,
     )
     if trace is not None:

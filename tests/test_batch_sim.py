@@ -32,15 +32,20 @@ def _worlds():
 def test_batched_matches_serial():
     worlds = _worlds()
     batched = run_trials_batched(worlds, ROBOT, CFG, max_iterations=6,
-                                 true_param_scale=1.0, seed=0)
+                                 true_param_scale=1.0, seed=0, use_hlp=True)
 
     step = make_planner(ROBOT, CFG)
     rng = np.random.default_rng(0)
-    for w, b in zip(worlds, batched):
+    for i, (w, b) in enumerate(zip(worlds, batched)):
         obs = pad_obstacles(w.obstacle_centers, w.obstacle_generators,
                             CFG.max_obstacles, CFG.dtype)
         tp = sample_true_params(ROBOT, rng, scale=1.0)
-        s = run_trial(w, ROBOT, CFG, step, obs, tp, max_iterations=6)
+        # the batched path guides with the EE RRT* HLP (seed=seed+i); the
+        # serial trial must use the identical generator for parity
+        from armour_tpu.hlp import EndEffectorRRTStarHLP
+
+        hlp = EndEffectorRRTStarHLP(w, ROBOT, lookahead=0.1, seed=i)
+        s = run_trial(w, ROBOT, CFG, step, obs, tp, max_iterations=6, hlp=hlp)
         assert b.goal_reached == s.goal_reached, (b, s)
         assert b.collision == s.collision
         assert b.torque_exceeded == s.torque_exceeded

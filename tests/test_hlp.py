@@ -64,6 +64,50 @@ def test_rrt_star_waypoint_avoids_obstacles(robot):
     assert not np.any(np.all(d < 0, axis=1))
 
 
+def test_rrt_star_waypoint_sits_lookahead_along_path(robot):
+    """When the EE path is much longer than the lookahead, the returned
+    waypoint must be a partial-progress configuration whose EE sits
+    ~lookahead along the path — NOT the raw goal configuration (the
+    round-3 walk-off bug returned the goal unconditionally)."""
+    start = np.zeros(7)
+    goal = np.array([1.2, 0.4, 0.0, 0.4, 0.0, 0.3, 0.0])
+    w = _world(robot, np.zeros((0, 3)), np.zeros((0, 3, 3)),
+               start=start, goal=goal)
+    lookahead = 0.1
+    hlp = EndEffectorRRTStarHLP(w, robot, lookahead=lookahead,
+                                max_nodes=300, seed=5)
+    wp = hlp.get_waypoint(start)
+    path = hlp._path
+    # the path is long enough that the lookahead point is strictly interior
+    seg_len = np.linalg.norm(np.diff(path, axis=0), axis=1).sum()
+    assert seg_len > 2 * lookahead
+    # waypoint differs from the goal configuration ...
+    assert np.linalg.norm(wp - goal) > 1e-3
+    # ... and its EE position is ~lookahead arclength from the start EE
+    p_wp = ee_position(robot, wp)
+    p0 = ee_position(robot, start)
+    assert np.linalg.norm(p_wp - p0) < 3 * lookahead
+
+
+def test_lazy_prm_waypoint_sits_lookahead_along_path(robot):
+    from armour_tpu.hlp import LazyPRMHLP
+
+    start = np.zeros(7)
+    goal = np.array([1.2, 0.4, 0.0, 0.4, 0.0, 0.3, 0.0])
+    w = _world(robot, np.zeros((0, 3)), np.zeros((0, 3, 3)),
+               start=start, goal=goal)
+    lookahead = 0.1
+    hlp = LazyPRMHLP(w, robot, lookahead=lookahead, seed=6)
+    wp = hlp.get_waypoint(start)
+    path = hlp._path
+    seg_len = np.linalg.norm(np.diff(path, axis=0), axis=1).sum()
+    assert seg_len > 2 * lookahead
+    assert np.linalg.norm(wp - goal) > 1e-3
+    p_wp = ee_position(robot, wp)
+    p0 = ee_position(robot, start)
+    assert np.linalg.norm(p_wp - p0) < 3 * lookahead
+
+
 def test_config_rrt_star_waypoints_track_collision_free_path(robot):
     """Config-space RRT* (robot_arm_RRT_star_HLP.m): the path must exist,
     every node must keep the swept arm outside the buffered obstacles, and
