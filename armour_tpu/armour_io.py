@@ -152,6 +152,44 @@ def plan_from_armour_in(in_path: str, out_dir: str, robot, cfg,
             for i in range(T):
                 f.write(" ".join(f"{x:.10g}" for x in tr[i]) + " \n")
 
+    # armour_constraints.out (armour_main.cu:366-371): every constraint value
+    # at the returned k, one per line.  Reference ordering (NLPclass.cu:46-54):
+    # control input u(j,t) [T*F rows], collision value per (t, link, obstacle)
+    # [T*J*O rows], then the 4*F state-extremum rows (q_min, q_max, qd_min,
+    # qd_max per factor).
+    from .collision import (build_hyperplanes, collision_constraints,
+                            eval_link_polys)
+    from .nlp import joint_position_extrema, joint_velocity_extrema
+    from .jrs import build_jrs as _build_jrs
+
+    @jax.jit
+    def constraint_values(q0, qd0, qdd0, kk):
+        jrs = build_jrs(q0, qd0, qdd0, robot, cfg, basis)
+        frs2 = reduce_links(forward_occupancy(jrs, robot, cfg, basis), basis)
+        tq = torque_frs(jrs, robot, cfg, basis)
+        hyp = build_hyperplanes(frs2, obs)
+        ph = basis.phi(kk)
+        Tn = tq.u_coef.shape[0]
+        u = (tq.u_coef.reshape(-1, ph.shape[0]) @ ph).reshape(Tn, -1)  # [T,F]
+        g_col = collision_constraints(hyp, obs, eval_link_polys(frs2, ph))
+        q_min, q_max, _, _ = joint_position_extrema(kk, jrs.traj, cfg)
+        qd_min, qd_max, _, _ = joint_velocity_extrema(kk, jrs.traj, cfg)
+        return u, g_col, jnp.concatenate([q_min, q_max, qd_min, qd_max])
+
+    u_v, g_col_v, state_v = constraint_values(
+        jnp.asarray(data.q0, cfg.dtype), jnp.asarray(data.qd0, cfg.dtype),
+        jnp.asarray(data.qdd0, cfg.dtype), jnp.asarray(k_slice, cfg.dtype))
+    n_obs = len(data.centers)
+    with open(os.path.join(out_dir, "armour_constraints.out"), "w") as f:
+        for row in np.asarray(u_v):
+            for x in row:
+                f.write(f"{x:.6g}\n")
+        gc = np.asarray(g_col_v)[:, :, :n_obs]       # drop padded obstacles
+        for x in gc.reshape(-1):
+            f.write(f"{x:.6g}\n")
+        for x in np.asarray(state_v):
+            f.write(f"{x:.6g}\n")
+
     return {"k": k, "feasible": bool(np.all(np.isfinite(k))), "millis": millis,
             "link_centers": centers, "link_generators": shape_gens,
             "link_radius": radius}

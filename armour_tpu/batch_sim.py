@@ -92,6 +92,10 @@ def run_trials_batched(
     W = len(worlds)
     F = robot.num_factors
     dt = cfg.dtype
+    # the lockstep goal check is the jitted config-space norm; EE-location
+    # goal worlds are served by the serial run_trial (world_goal_check)
+    assert all(getattr(w, "goal_type", "configuration") == "configuration"
+               for w in worlds), "batched suite supports configuration goals"
     starts, goals_np, obs = stack_worlds(worlds, cfg)
     rng = np.random.default_rng(seed)
     tp = _batched_true_params(robot, rng, W, true_param_scale)
@@ -205,11 +209,16 @@ def run_trials_batched(
         gd_final = np.where(active, gd, gd_final)
         gd_min = np.where(active, np.minimum(gd_min, gd), gd_min)
 
-        # stall detection -> config-RRT* fallback guidance
+        # stall detection -> config-RRT* fallback guidance.  Two triggers:
+        # no goal progress for stall_window iterations, or two consecutive
+        # infeasible plans (half the stop threshold — the world would be
+        # declared stuck in two more, so reroute it NOW)
         progressed = gd_min < stall_ref_gd - stall_progress
         stall_ref_gd = np.where(progressed, gd_min, stall_ref_gd)
         stall_count = np.where(progressed | ~active, 0, stall_count + 1)
-        for i in np.where(active & (stall_count >= stall_window))[0]:
+        infeas_trigger = active & (stop_count == 2) & (fallback_regrows == 0)
+        for i in np.where(active & ((stall_count >= stall_window)
+                                    | infeas_trigger))[0]:
             from .hlp import ConfigRRTStarHLP
 
             fallback[i] = ConfigRRTStarHLP(

@@ -101,6 +101,12 @@ class ArmourConfig:
     solver_outer_iters: int = 8        # augmented-Lagrangian outer updates
     solver_inner_iters: int = 6        # projected-Newton inner steps
     solver_seeds: int = 4              # multi-start ALM descents (vmapped)
+    # seed culling: after `solver_cull_after` outer iterations keep only the
+    # `solver_keep_seeds` most promising starts for the remaining budget
+    # (0 disables).  The full 4-seed descent dominated round-3 solve time;
+    # phase A costs cull_after/outer_iters of it, survivors the rest.
+    solver_cull_after: int = 2
+    solver_keep_seeds: int = 2
     screen_k: int = 4096               # collision rows kept in the hot loop
     solver_tol: float = 1e-4
     turn_off_input_constraints: bool = False

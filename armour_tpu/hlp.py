@@ -345,6 +345,7 @@ class ConfigRRTStarHLP:
         self.rewire_radius = rewire_radius
         self.edge_step = edge_step
         self.rng = np.random.default_rng(seed)
+        self.buffer = buffer
 
         self.obs_c = np.asarray(world.obstacle_centers).reshape(-1, 3)
         gens = np.asarray(world.obstacle_generators).reshape(-1, 3, 3)
@@ -378,6 +379,17 @@ class ConfigRRTStarHLP:
     # -- tree growth --------------------------------------------------------
 
     def _grow(self, root: np.ndarray):
+        # The planner parks arms AGAINST obstacle walls (boundary optima), so
+        # the root configuration routinely violates the buffered capsule
+        # model even though the true arm is safe.  Halve the guidance buffer
+        # until the root tests free (certified safety lives in the PZ
+        # planner, not here; a thin-buffer roadmap is still useful guidance).
+        base_half = self.obs_half
+        for _ in range(5):
+            if self._config_free(np.asarray(root, float)):
+                break
+            self.obs_half = np.maximum(self.obs_half - 0.5 * self.buffer,
+                                       base_half - self.buffer)
         t = _Tree(nodes=[np.asarray(root, float)], parents=[-1], costs=[0.0])
         best_goal, best_cost = None, np.inf
         goal_free = self._config_free(self.goal)

@@ -390,7 +390,29 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
     else:
         seeds = jnp.asarray(k0, dt)[None]
 
-    results = jax.vmap(lambda s: _solve_single(prob, robot, cfg, basis, s))(seeds)
+    n_seeds = seeds.shape[0]
+    cull_after = int(getattr(cfg, "solver_cull_after", 0))
+    keep = int(getattr(cfg, "solver_keep_seeds", 2))
+    init, run_outer, finalize, cull_score = _alm_phases(prob, robot, cfg, basis)
+
+    if 0 < cull_after < cfg.solver_outer_iters and 0 < keep < n_seeds:
+        # Phase A on all seeds, cull to the `keep` most promising (feasible
+        # best-cost first, else lowest merit), phase B on the survivors —
+        # most of the outer budget is spent on a fraction of the starts
+        # (VERDICT r3 #3: the 4-seed multi-start dominated solve time).
+        carry = jax.vmap(init)(seeds)
+        carry = jax.vmap(lambda c: run_outer(c, cull_after))(carry)
+        score = jax.vmap(cull_score)(carry)
+        idx = jnp.argsort(score)[:keep]
+        carry = jax.tree.map(lambda x: x[idx], carry)
+        carry = jax.vmap(
+            lambda c: run_outer(c, cfg.solver_outer_iters - cull_after))(carry)
+        results = jax.vmap(finalize)(carry)
+    else:
+        carry = jax.vmap(init)(seeds)
+        carry = jax.vmap(lambda c: run_outer(c, cfg.solver_outer_iters))(carry)
+        results = jax.vmap(finalize)(carry)
+
     # best feasible across starts; else the lowest-cost (infeasible) one
     cost_rank = jnp.where(results.feasible, results.cost, jnp.inf)
     any_feas = jnp.any(results.feasible)
@@ -399,31 +421,30 @@ def solve(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig, basis: KBasis
                        cost=results.cost[i], viol=results.viol[i])
 
 
-def _solve_single(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
-                  basis: KBasis, k0) -> SolveResult:
-    """One ALM descent from seed k0, with best-feasible tracking at every
-    line-search candidate and a final feasibility pull-in (Ipopt's "best
-    feasible point under budget" semantics, NLPclass.cu:422-538)."""
+def _alm_phases(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
+                basis: KBasis):
+    """The ALM descent split into (init, run_outer, finalize, cull_score)
+    closures over a carry (k, lam, rho, best_k, best_cost), so the
+    multi-start driver can run a short phase on every seed, cull, and spend
+    the remaining outer budget on the survivors.
+
+    Semantics per phase match the round-3 single-shot solver: best-feasible
+    tracking at every line-search candidate and a final feasibility pull-in
+    (Ipopt's "best feasible point under budget", NLPclass.cu:422-538)."""
     dt = prob.q_des.dtype
     F = prob.q_des.shape[-1]
-    k = jnp.asarray(k0, dt)
 
     cost_fn = lambda kk: plan_cost(kk, prob.traj, prob.q_des, robot, cfg)
     cost_grad = jax.grad(cost_fn)
-
-    c0, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
-    m = c0.shape[0]
-    lam = jnp.zeros((m,), dt)
-    rho0 = jnp.asarray(10.0, dt)
     thr = _stack_thresholds(prob, robot, cfg, dt)
+    rho0 = jnp.asarray(10.0, dt)
+    # the cost is quadratic in k up to the (piecewise-constant) wrap shift,
+    # so its Hessian is constant — hoist it out of the inner loop
+    Hc = jax.hessian(cost_fn)(jnp.zeros((F,), dt))
 
     def clip_big(c):
         # padded/degenerate constraint rows sit at -BIG; keep them inert
         return jnp.maximum(c, -1e6)
-
-    # the cost is quadratic in k up to the (piecewise-constant) wrap shift,
-    # so its Hessian is constant — hoist it out of the inner loop
-    Hc = jax.hessian(cost_fn)(k)
 
     def penalty(cc, lam, rho):
         return jnp.sum(jnp.where(lam + rho * cc > 0, (lam + rho * cc) ** 2, 0.0)) / (2 * rho)
@@ -435,6 +456,18 @@ def _solve_single(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
         cost_kk = cost_fn(kk)
         better = feas & (cost_kk < best_cost)
         return jnp.where(better, kk, best_k), jnp.where(better, cost_kk, best_cost)
+
+    def init(k0):
+        k = jnp.asarray(k0, dt)
+        c0, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
+        lam = jnp.zeros((c0.shape[0],), dt)
+        # seed the best-feasible tracker with the INITIAL iterate: a feasible
+        # warm start (k=0 is the rest/continue plan) must never be lost to an
+        # inner loop that wanders infeasible (Ipopt likewise falls back to
+        # its best feasible iterate, NLPclass.cu:446-538)
+        feas0 = jnp.all(clip_big(c0) <= thr)
+        best_cost = jnp.where(feas0, cost_fn(k), jnp.asarray(jnp.inf, dt))
+        return (k, lam, rho0, k, best_cost)
 
     def inner_step(carry, lam, rho):
         # ONE constraint-stack pass yields c, Jc AND the current merit m0
@@ -494,16 +527,28 @@ def _solve_single(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
         rho = jnp.minimum(rho * 2.0, 1e6)
         return (k, lam, rho, best_k, best_cost)
 
-    # seed the best-feasible tracker with the INITIAL iterate: a feasible
-    # warm start (k=0 is the rest/continue plan) must never be lost to an
-    # inner loop that wanders infeasible (Ipopt likewise falls back to its
-    # best feasible iterate, NLPclass.cu:446-538 re-check semantics)
-    feas0 = jnp.all(clip_big(c0) <= thr)
-    best0 = (k, jnp.where(feas0, cost_fn(k), jnp.asarray(jnp.inf, dt)))
-    k, lam, rho, best_k, best_cost = jax.lax.fori_loop(
-        0, cfg.solver_outer_iters, outer, (k, lam, rho0) + best0
-    )
+    def run_outer(carry, n: int):
+        return jax.lax.fori_loop(0, n, outer, carry)
 
+    def cull_score(carry):
+        """Rank a seed after phase A: feasible seeds by their best cost,
+        infeasible ones pushed behind by their current total violation."""
+        k, lam, rho, best_k, best_cost = carry
+        c, _ = constraint_stack(k, prob, robot, cfg, basis, with_grad=False)
+        v = jnp.sum(jnp.maximum(clip_big(c) - thr, 0.0))
+        has_best = jnp.isfinite(best_cost)
+        return jnp.where(has_best, best_cost, 1e6 + v + cost_fn(k))
+
+    def finalize(carry):
+        k, lam, rho, best_k, best_cost = carry
+        return _finalize(prob, robot, cfg, basis, k, best_k, best_cost,
+                         cost_fn, thr, clip_big, track_best)
+
+    return init, run_outer, finalize, cull_score
+
+
+def _finalize(prob, robot, cfg, basis, k, best_k, best_cost, cost_fn, thr,
+              clip_big, track_best) -> SolveResult:
     # feasibility pull-in: when the ALM terminates epsilon-OUTSIDE the
     # feasible set (boundary optimum approached from the infeasible side),
     # bisect along [best_k, k] for the deepest feasible point instead of

@@ -33,7 +33,7 @@ from .controller import (althoff_control, nominal_passivity_control,
 from .rnea_numeric import coriolis_gravity, forward_kinematics, mass_matrix
 from .robot import RobotModel
 from .trajectory import PlanRef, advance_plan, desired_state, initial_plan
-from .worlds import World, goal_check, straight_line_waypoint
+from .worlds import World, goal_check, straight_line_waypoint, world_goal_check
 
 
 @dataclasses.dataclass
@@ -302,6 +302,8 @@ def run_trial(
     hlp=None,
     trace_path: Optional[str] = None,
     trace_stride: int = 10,
+    stall_window: int = 25,
+    stall_progress: float = 0.05,
 ) -> TrialSummary:
     """One closed-loop trial on one world (kinova_run_100_worlds.m per-world
     loop).  planner_step = make_planner(robot, cfg) output.  Pass precompiled
@@ -340,11 +342,21 @@ def run_trial(
         d = np.mod(np.asarray(qq) - world.goal + np.pi, 2 * np.pi) - np.pi
         return float(np.linalg.norm(d))
 
+    # stall -> config-RRT* fallback (same policy as batch_sim: reroute when
+    # goal progress stagnates for stall_window iterations or the second
+    # consecutive plan fails)
+    fallback_hlp = None
+    fallback_count = 0
+    stall_ref = float("inf")
+    stall_iters = 0
+
     for it in range(max_iterations):
         # plan from the REFERENCE state at the end of the last move
         # (uarmtd_planner.m:81 reads agent reference, not measured state)
         q0, qd0, qdd0 = desired_state(ref, cfg.t_plan, cfg)
-        if hlp is not None:
+        if fallback_hlp is not None:
+            waypoint = fallback_hlp.get_waypoint(np.asarray(q0))
+        elif hlp is not None:
             waypoint = hlp.get_waypoint(np.asarray(q0))
         else:
             waypoint = straight_line_waypoint(np.asarray(q0), world.goal, lookahead,
@@ -366,6 +378,22 @@ def run_trial(
         q, qd, logs = rollout(q, qd, ref, true_params)
         gd = _goal_distance(q)
         gd_min = min(gd_min, gd)
+        if gd_min < stall_ref - stall_progress:
+            stall_ref = gd_min
+            stall_iters = 0
+        else:
+            stall_iters += 1
+        if (stall_iters >= stall_window
+                or (stop_count == 2 and fallback_count == 0)):
+            from .hlp import ConfigRRTStarHLP
+
+            fallback_count += 1
+            fallback_hlp = ConfigRRTStarHLP(world, robot,
+                                            seed=7919 * fallback_count)
+            stall_iters = 0
+            if verbose:
+                print(f"iter {it}: stalled at gd={gd:.2f} -> "
+                      f"config-RRT* fallback #{fallback_count}")
         checks = jax.tree.map(bool, oracles(logs, obs))
         if trace is not None:
             for name in ("q", "qd", "u", "q_des", "qd_des"):
@@ -379,7 +407,7 @@ def run_trial(
             print(f"iter {it}: feasible={np.all(np.isfinite(k))} q={np.asarray(q).round(2)} checks={checks}")
         if any(flags.values()):
             break
-        if goal_check(np.asarray(q), world.goal):
+        if world_goal_check(world, np.asarray(q), robot):
             goal = True
             break
         if stop_count >= stop_threshold:

@@ -18,10 +18,19 @@ from .robot import RobotModel
 
 @dataclasses.dataclass
 class World:
+    """goal_type: 'configuration' (default) checks the wrapped config-space
+    norm against goal_radius; 'end_effector_location' checks the workspace
+    distance of the EE to goal_in_workspace (kinova_world_static.m:417-446).
+    For the EE mode, `goal` remains a configuration whose EE realises the
+    workspace goal (used by HLP guidance); the CHECK is purely workspace."""
+
     start: np.ndarray            # [F]
     goal: np.ndarray             # [F]
     obstacle_centers: np.ndarray     # [n, 3]
     obstacle_generators: np.ndarray  # [n, 3, 3]
+    goal_type: str = "configuration"
+    goal_in_workspace: np.ndarray = None   # [3], EE mode only
+    goal_radius: float = None              # defaults per goal_type
 
     @property
     def num_obstacles(self) -> int:
@@ -140,9 +149,30 @@ def random_world(
 
 
 def goal_check(q: np.ndarray, goal: np.ndarray, goal_radius: float = np.pi / 30) -> bool:
-    """Configuration-space goal test (kinova_world_static.goal_check)."""
+    """Configuration-space goal test (kinova_world_static.goal_check,
+    goal_type 'configuration')."""
     d = np.mod(q - goal + np.pi, 2 * np.pi) - np.pi
     return bool(np.linalg.norm(d) <= goal_radius)
+
+
+def world_goal_check(world: World, q: np.ndarray, robot=None) -> bool:
+    """Dispatch on world.goal_type (kinova_world_static.m:417-446):
+    'configuration' -> wrapped config norm; 'end_effector_location' ->
+    workspace EE distance to world.goal_in_workspace (default radius
+    0.05 m)."""
+    if world.goal_type == "configuration":
+        r = world.goal_radius if world.goal_radius is not None else np.pi / 30
+        return goal_check(q, world.goal, r)
+    if world.goal_type == "end_effector_location":
+        from .hlp import ee_position
+
+        assert robot is not None, "EE goal mode needs the robot model"
+        target = (world.goal_in_workspace if world.goal_in_workspace is not None
+                  else ee_position(robot, np.asarray(world.goal, float)))
+        r = world.goal_radius if world.goal_radius is not None else 0.05
+        d = np.linalg.norm(ee_position(robot, np.asarray(q, float)) - target)
+        return bool(d <= r)
+    raise ValueError(f"goal type {world.goal_type} is not supported")
 
 
 def straight_line_waypoint(q: np.ndarray, goal: np.ndarray, lookahead: float = 0.3,

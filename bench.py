@@ -75,10 +75,20 @@ def main():
     solves_per_s = batch / dt
     n_feasible = int(np.sum(np.asarray(out.feasible)))
 
-    # --- batch-1 latency (the real-time criterion) ---
+    # --- batch-1 latency (the real-time criterion) + p99 over instances ---
     step1 = make_planner(robot, cfg)
     args1 = jax.tree.map(lambda x: x[0], args)
     dt1, _ = _bench(lambda: step1(*args1), iters=10)
+    import time as _time
+
+    lats = []
+    for i in range(min(48, batch)):
+        ai = jax.tree.map(lambda x: x[i], args)
+        t0 = _time.perf_counter()
+        jax.block_until_ready(step1(*ai))
+        lats.append(_time.perf_counter() - t0)
+    lat_p99 = float(np.percentile(lats, 99))
+    lat_p50 = float(np.percentile(lats, 50))
 
     # --- reachset vs solver split (jit-prefix timing at the same batch) ---
     from armour_tpu.collision import build_hyperplanes, screen_collision
@@ -102,6 +112,14 @@ def main():
 
     dt_rs, _ = _bench(lambda: reachsets_only(*args), iters=5)
 
+    # --- real-time budget semantics (armour_main.cu:227-229): the solver's
+    # wall-time allowance per solve is 0.5*DURATION - t_reachsets - 0.05 s,
+    # with t_reachsets MEASURED at batch 1 (the deployment shape) ---
+    dt_rs1, _ = _bench(lambda: reachsets_only(
+        *jax.tree.map(lambda x: x[:1], args)), iters=5)
+    solver_budget_s = 0.5 * cfg.duration - dt_rs1 - 0.05
+    solver1_s = max(dt1 - dt_rs1, 0.0)
+
     result = {
         "metric": "planning_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -111,9 +129,14 @@ def main():
         "feasible": n_feasible,
         "latency_ms_per_batch": round(dt * 1e3, 2),
         "latency_batch1_ms": round(dt1 * 1e3, 2),
-        "realtime_ok": bool(dt1 < 0.5),
+        "latency_p50_ms": round(lat_p50 * 1e3, 2),
+        "latency_p99_ms": round(lat_p99 * 1e3, 2),
+        "realtime_ok": bool(lat_p99 < 0.5),
         "reachset_ms": round(dt_rs * 1e3, 2),
         "solver_ms": round((dt - dt_rs) * 1e3, 2),
+        "reachset_batch1_ms": round(dt_rs1 * 1e3, 2),
+        "solver_budget_ms": round(solver_budget_s * 1e3, 2),
+        "budget_ok": bool(solver1_s <= solver_budget_s),
         "instances": "saved_worlds/random + EE-RRT* waypoints",
     }
     print(json.dumps(result))

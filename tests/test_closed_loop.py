@@ -107,6 +107,34 @@ def test_measurement_noise_keeps_ultimate_bound():
     assert vel_err <= CFG.ub.qde, vel_err
 
 
+def test_ee_location_goal_mode():
+    """kinova_world_static.m goal_type 'end_effector_location': the goal
+    check is the workspace EE distance, not the config norm — a DIFFERENT
+    configuration whose EE lands at the target must pass."""
+    from armour_tpu.hlp import ee_position, ik_damped_ls
+    from armour_tpu.worlds import World, world_goal_check
+
+    robot = kinova_gen3()
+    q_goal = np.array([0.3, -0.4, 0.2, -1.0, 0.1, -0.5, 0.0])
+    target = ee_position(robot, q_goal)
+    w = World(start=np.zeros(7), goal=q_goal,
+              obstacle_centers=np.zeros((0, 3)),
+              obstacle_generators=np.zeros((0, 3, 3)),
+              goal_type="end_effector_location")
+    assert world_goal_check(w, q_goal, robot)
+    assert not world_goal_check(w, np.zeros(7), robot)
+    # an IK solution from a different seed reaches the same EE target
+    q_alt, ok = ik_damped_ls(robot, target, q_goal + 0.3)
+    assert ok
+    if np.linalg.norm(np.mod(q_alt - q_goal + np.pi, 2 * np.pi) - np.pi) > np.pi / 30:
+        assert world_goal_check(w, q_alt, robot)
+    # config mode rejects the alternative configuration
+    w_cfg = World(start=np.zeros(7), goal=q_goal,
+                  obstacle_centers=np.zeros((0, 3)),
+                  obstacle_generators=np.zeros((0, 3, 3)))
+    assert world_goal_check(w_cfg, q_goal, robot)
+
+
 def test_oracle_detects_rotated_obstacle_collision():
     """A rotated box that overlaps a link only through its off-diagonal
     generators must be flagged (round-1 oracle used diag(|G|) and missed it)."""
@@ -141,6 +169,7 @@ def test_oracle_detects_rotated_obstacle_collision():
     assert not bool(checks_far["collision"])
 
 
+@pytest.mark.slow
 def test_trial_reaches_easy_goal():
     world = World(
         start=Q0,
@@ -162,6 +191,7 @@ def test_trial_reaches_easy_goal():
     assert summary.goal_reached, summary
 
 
+@pytest.mark.slow
 def test_world_suite_resume(tmp_path):
     """run_world_suite(resume=True) skips worlds already in the results file
     and reproduces identical summaries for the rest (checkpoint/resume for

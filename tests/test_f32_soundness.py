@@ -74,6 +74,7 @@ def test_default_float_slop_is_on():
     assert ArmourConfig().float_slop > 0.0
 
 
+@pytest.mark.slow
 def test_f32_containment_of_f64_truth(f32_bands):
     t_inds, ks, bands = f32_bands
     rng = np.random.default_rng(8)

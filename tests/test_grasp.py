@@ -191,6 +191,7 @@ def test_grasp_rows_gate_the_planner():
     assert np.all(np.isnan(np.asarray(res_tight.k)))
 
 
+@pytest.mark.slow
 def test_grasp_closed_loop_tray_trial():
     """Closed-loop waiter's-tray trial: the dumbbell robot tracks a short
     goal with grasp constraints active; no safety oracle fires and the

@@ -135,3 +135,13 @@ def test_plan_from_armour_in_writes_reference_dumps(tmp_path):
     assert radii.shape == (8 * ROBOT.num_joints * 3, 6)
     tr = np.loadtxt(str(tmp_path / "armour_control_input_radius.out"))
     assert tr.shape == (8, 7)
+
+    # 4th dump (armour_main.cu:366-371): one constraint value per line —
+    # T*F torque + T*J*n_obs collision + 4*F state-extremum rows
+    g = np.loadtxt(str(tmp_path / "armour_constraints.out"))
+    assert g.shape == (8 * 7 + 8 * ROBOT.num_joints * 1 + 4 * 7,)
+    # the accepted plan's collision rows are all safe (<= 0) and torque rows
+    # within limits
+    n_t = 8 * 7
+    assert np.all(g[n_t:n_t + 8 * ROBOT.num_joints] <= 1e-4)
+    assert np.all(np.abs(g[:n_t]) <= ROBOT.torque_limits.max())

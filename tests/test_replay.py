@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from armour_tpu.collision import pad_obstacles
@@ -18,6 +19,7 @@ from armour_tpu.worlds import World
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_trace_written_and_replay_renders(tmp_path):
     robot = kinova_gen3()
     cfg = ArmourConfig(dtype=jnp.float64, num_time_steps=16, screen_k=256,
