@@ -159,6 +159,11 @@ def run_trials_batched(
     fallback_regrows = np.zeros(W, dtype=np.int64)
     stall_ref_gd = np.full(W, np.inf)      # best gd at the last stall check
     stall_count = np.zeros(W, dtype=np.int64)
+    # retreat target: the plan-start state of the last FEASIBLE plan.  After
+    # an infeasible plan the arm is braking toward an obstacle pocket; the
+    # next waypoint pulls back to known-certifiable territory instead of
+    # continuing to press into the wall.
+    retreat = np.array([np.asarray(w.start, np.float64) for w in worlds])
 
     q = starts
     qd = jnp.zeros_like(q)
@@ -168,21 +173,27 @@ def run_trials_batched(
 
     for it in range(max_iterations):
         q0, qd0, qdd0, waypoints = plan_inputs(ref)
-        if hlps is not None or any(f is not None for f in fallback):
+        if np.any(stop_count[active] > 0) or hlps is not None \
+                or any(f is not None for f in fallback):
             # host-side waypoints, only for still-active worlds (inactive
             # worlds keep their last waypoint; results are masked).  A
             # world's stall-fallback config-RRT* takes precedence over the
             # global HLP choice.
             q0h = np.asarray(q0, dtype=np.float64)
-            wp_np = np.asarray(waypoints, dtype=np.float64)
+            wp_np = np.array(waypoints, dtype=np.float64)   # writable copy
             for i in range(W):
                 if not active[i]:
                     wp_np[i] = wp_cache[i]
                     continue
-                gen = fallback[i] if fallback[i] is not None else (
-                    hlps[i] if hlps is not None else None)
-                if gen is not None:
-                    wp_np[i] = gen.get_waypoint(q0h[i])
+                if stop_count[i] > 0:
+                    # braking after an infeasible plan: retreat to the last
+                    # feasible plan-start state
+                    wp_np[i] = retreat[i]
+                else:
+                    gen = fallback[i] if fallback[i] is not None else (
+                        hlps[i] if hlps is not None else None)
+                    if gen is not None:
+                        wp_np[i] = gen.get_waypoint(q0h[i])
                 wp_cache[i] = wp_np[i]
             waypoints = jnp.asarray(wp_np, dt)
         t0 = time.perf_counter()
@@ -195,6 +206,8 @@ def run_trials_batched(
         grp = np.argmax(np.asarray(res.viol), axis=-1)        # [W]
         rows = np.where((~feas) & active)[0]
         blocked[rows, grp[rows]] += 1
+        q0_np = np.asarray(q0, np.float64)
+        retreat[feas & active] = q0_np[feas & active]
         # freeze bookkeeping for inactive worlds: a finished world's masked
         # simulation must not reset or advance its stuck counter
         stop_count = np.where(active, np.where(feas, 0, stop_count + 1),

@@ -234,19 +234,48 @@ def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
     )
 
 
-def screened_constraints(sc: ScreenedCollision, p_all: jnp.ndarray):
+def screened_constraints(sc: ScreenedCollision, p_all: jnp.ndarray,
+                         smooth_tau: float = 0.0):
     """g [K] (<= 0 safe) and dg/dp [3, K] for the screened rows, given the
-    per-cell sliced link centers p_all [3, T*J]."""
+    per-cell sliced link centers p_all [3, T*J].
+
+    smooth_tau > 0 switches to the SMOOTH ablation (the TPU-native
+    counterpart of the reference's duality/lambda obstacle constraints,
+    uarmtd_planner.m:711-731): the hard max over hyperplanes is replaced by
+    a shifted log-sum-exp m_s = tau*logsumexp(x/tau) - tau*log(2C) <= max(x),
+    so the smoothed separation UNDER-approximates the true one and
+    g_s = -m_s >= g stays a sound (conservative) C^1 constraint.  The
+    reference introduces dual lambda variables to the same end (smooth
+    constraints for the NLP); here the dual is eliminated in closed form —
+    the softmax weights ARE the optimal lambda direction."""
     p = p_all[:, sc.row]                                      # [3, K]
     Ap = _dot3(sc.A, p[:, None, :])                           # [C, K]
     ok = jnp.abs(sc.A[0]) + jnp.abs(sc.A[1]) + jnp.abs(sc.A[2]) > 0
     pos = jnp.where(ok, Ap - (sc.d + sc.delta), -BIG)
     neg = jnp.where(ok, -Ap - (-sc.d + sc.delta), -BIG)
     both = jnp.concatenate([pos, neg], axis=0)                # [2C, K]
+    C = sc.A.shape[1]
+
+    if smooth_tau > 0:
+        tau = smooth_tau
+        mx = jnp.max(both, axis=0)
+        w = jnp.exp((both - mx[None]) / tau)                  # softmax weights
+        Z = jnp.sum(w, axis=0)
+        m = mx + tau * jnp.log(Z) - tau * jnp.log(2.0 * C)
+        g = jnp.where(sc.mask, -m, -BIG)
+        # dg/dp = -sum_c softmax_c * sign_c * A_c (smooth blend of normals)
+        wn = w / Z[None]                                      # [2C, K]
+        w_pos, w_neg = wn[:C], wn[C:]
+        A_blend = (
+            (sc.A * w_pos[None]).sum(axis=1)
+            - (sc.A * w_neg[None]).sum(axis=1)
+        )                                                     # [3, K]
+        grad_p = jnp.where(sc.mask[None, :], -A_blend, 0.0)
+        return g, grad_p
+
     m = jnp.max(both, axis=0)
     g = jnp.where(sc.mask, -m, -BIG)
 
-    C = sc.A.shape[1]
     idx = jnp.argmax(both, axis=0)
     sign = jnp.where(idx < C, -1.0, 1.0)
     comb = jnp.where(idx < C, idx, idx - C)

@@ -93,6 +93,18 @@ class ArmourConfig:
     # --- feasibility thresholds (Parameters.h:38-41) ---
     collision_violation_threshold: float = 1e-4
     torque_violation_threshold: float = 1e-2
+    # extra clearance (m) the SOLVER demands on collision rows; the final
+    # certification check stays at the exact threshold.  Without it the
+    # optimizer legally grazes obstacle surfaces, and the next plan's
+    # slightly larger moving-state FRS goes infeasible -> braking ratchets
+    # the arm against the wall until even k=0 cannot be certified (observed
+    # as consecutive-infeasible 'stuck' trials on the world suite).
+    collision_search_margin: float = 0.005
+    # smooth obstacle-constraint ablation (uarmtd_planner.m:711-731 duality
+    # variant): sound shifted-softmax over hyperplanes instead of the hard
+    # max; tau is the smoothing temperature in meters
+    smooth_obstacle_constraints: bool = False
+    smooth_tau: float = 0.01
 
     # --- cost (Parameters.h:44, NLPclass.cu:225-231) ---
     cost_scale: float = 10.0

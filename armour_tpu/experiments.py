@@ -220,6 +220,7 @@ def robust_controller_sweep(robot: RobotModel, cfg: ArmourConfig,
             rec["mean_abs_u"].append(mean_u)
 
     if results_path:
+        out["provenance"] = _provenance()
         with open(results_path, "w") as f:
             json.dump(out, f, indent=1)
     return out
@@ -260,6 +261,28 @@ def summarize(results: Sequence[SuiteResult]) -> dict:
     return out
 
 
+def _provenance() -> dict:
+    """Producing command + commit + time embedded in every results file so
+    an artifact can be matched to the code that generated it."""
+    import subprocess
+    import sys
+    import time as _t
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    return {
+        "command": " ".join(sys.argv),
+        "commit": commit,
+        "generated_at": _t.strftime("%Y-%m-%dT%H:%M:%S%z"),
+    }
+
+
 def save_results(results: Sequence[SuiteResult], path: str) -> None:
     payload = []
     for r in results:
@@ -269,4 +292,5 @@ def save_results(results: Sequence[SuiteResult], path: str) -> None:
         d["planning_times"] = [float(x) for x in d["planning_times"]]
         payload.append(d)
     with open(path, "w") as f:
-        json.dump({"results": payload, "summary": summarize(results)}, f, indent=1)
+        json.dump({"results": payload, "summary": summarize(results),
+                   "provenance": _provenance()}, f, indent=1)

@@ -220,8 +220,11 @@ def constraint_stack(k, prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
             Js.append(gc @ dphi)
 
     p_all = eval_link_polys(prob.frs, phi)
-    g_col, grad_p = screened_constraints(prob.screened, p_all)
-    cs.append(g_col)
+    tau = cfg.smooth_tau if cfg.smooth_obstacle_constraints else 0.0
+    g_col, grad_p = screened_constraints(prob.screened, p_all, smooth_tau=tau)
+    # search margin: plan with extra clearance; certification (max_violations)
+    # stays exact.  Padded rows sit at -BIG, far below any margin.
+    cs.append(g_col + cfg.collision_search_margin)
     if with_grad:
         dp_all = eval_link_poly_grads(prob.frs, dphi)
         Js.append(screened_constraint_grads(prob.screened, grad_p, dp_all))

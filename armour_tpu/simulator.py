@@ -349,12 +349,17 @@ def run_trial(
     fallback_count = 0
     stall_ref = float("inf")
     stall_iters = 0
+    retreat = np.asarray(world.start, float)   # last feasible plan start
 
     for it in range(max_iterations):
         # plan from the REFERENCE state at the end of the last move
         # (uarmtd_planner.m:81 reads agent reference, not measured state)
         q0, qd0, qdd0 = desired_state(ref, cfg.t_plan, cfg)
-        if fallback_hlp is not None:
+        if stop_count > 0:
+            # braking after an infeasible plan: retreat toward the last
+            # certifiable plan-start state (see batch_sim)
+            waypoint = retreat
+        elif fallback_hlp is not None:
             waypoint = fallback_hlp.get_waypoint(np.asarray(q0))
         elif hlp is not None:
             waypoint = hlp.get_waypoint(np.asarray(q0))
@@ -368,6 +373,7 @@ def run_trial(
 
         if np.all(np.isfinite(k)):
             stop_count = 0
+            retreat = np.asarray(q0, float)
         else:
             infeasible += 1
             stop_count += 1

@@ -151,3 +151,41 @@ def test_boundary_optimum_not_locked_to_seed():
     # and the returned plan must satisfy the TRUE limits
     vt, vc, vs, vg = nlp.max_violations(jnp.asarray(k), prob, robot, cfg, basis)
     assert float(vs) <= 1e-6
+
+
+def test_smooth_obstacle_mode_sound_and_solves():
+    """Smooth ablation (uarmtd_planner.m:711-731 duality variant as a
+    shifted softmax): the smoothed constraint must over-approximate the
+    exact one (g_smooth >= g_exact, conservative) and the planner must
+    still find a feasible plan on the example scene."""
+    import dataclasses
+
+    import jax
+
+    from armour_tpu.collision import (build_hyperplanes, eval_link_polys,
+                                      screen_collision, screened_constraints)
+    from armour_tpu.jrs import build_jrs
+    from armour_tpu.kinematics import forward_occupancy, reduce_links
+
+    obs = pad_obstacles(OBS_C, OBS_G, CFG.max_obstacles, CFG.dtype)
+    jrs = build_jrs(jnp.asarray(Q0), jnp.asarray(QD0), jnp.asarray(QDD0),
+                    ROBOT, CFG, BASIS)
+    frs = reduce_links(forward_occupancy(jrs, ROBOT, CFG, BASIS), BASIS)
+    hyp = build_hyperplanes(frs, obs)
+    sc = screen_collision(hyp, obs, frs, CFG.screen_k)
+    k = jnp.asarray(np.full(7, 0.3), CFG.dtype)
+    p_all = eval_link_polys(frs, BASIS.phi(k))
+    g_exact, _ = screened_constraints(sc, p_all)
+    g_smooth, _ = screened_constraints(sc, p_all, smooth_tau=0.01)
+    real = np.asarray(sc.mask)
+    assert np.all(np.asarray(g_smooth)[real] >= np.asarray(g_exact)[real] - 1e-12)
+    # and not grossly loose: within tau*log(2C) of exact
+    gap = np.asarray(g_smooth)[real] - np.asarray(g_exact)[real]
+    assert gap.max() <= 0.01 * np.log(2 * 36) + 1e-9
+
+    cfg_s = dataclasses.replace(CFG, smooth_obstacle_constraints=True)
+    step = make_planner(ROBOT, cfg_s)
+    res = step(jnp.asarray(Q0), jnp.asarray(QD0), jnp.asarray(QDD0),
+               jnp.asarray(Q_DES), obs)
+    assert bool(res.feasible)
+    assert np.all(np.isfinite(np.asarray(res.k)))
