@@ -234,8 +234,12 @@ def run_trials_batched(
                                     | infeas_trigger))[0]:
             from .hlp import ConfigRRTStarHLP
 
+            # widen the guidance buffer on every regrow: if the previous
+            # path's corridor was too narrow for the certified planner to
+            # track, the next roadmap detours further from the obstacles
             fallback[i] = ConfigRRTStarHLP(
                 worlds[i], robot,
+                buffer=0.08 + 0.04 * int(fallback_regrows[i]),
                 seed=seed + 7919 * (int(fallback_regrows[i]) + 1) + i)
             fallback_regrows[i] += 1
             stall_count[i] = 0

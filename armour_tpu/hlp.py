@@ -85,6 +85,39 @@ def ee_position(robot: RobotModel, q: np.ndarray) -> np.ndarray:
     return _fk_frames(robot, q)[-1]
 
 
+def _fk_points_batch(robot: RobotModel, Q: np.ndarray) -> np.ndarray:
+    """Joint-frame origins + tool point for a batch of configs:
+    [B, F] -> [B, J+1, 3] (vectorised _fk_frames; the config-RRT* collision
+    model calls this thousands of times per grow)."""
+    Q = np.atleast_2d(np.asarray(Q, float))
+    B = Q.shape[0]
+    fk_r = np.broadcast_to(np.eye(3), (B, 3, 3)).copy()
+    fk_t = np.zeros((B, 3))
+    ps = np.zeros((B, robot.num_joints + 1, 3))
+    for i in range(robot.num_joints):
+        fk_t = fk_t + np.einsum("bxy,y->bx", fk_r, robot.trans[i])
+        axis = int(robot.axes[i])
+        if axis != 0 and i < robot.num_factors:
+            th = Q[:, i] * (1.0 if axis > 0 else -1.0)
+            c, s = np.cos(th), np.sin(th)
+            o, z = np.ones(B), np.zeros(B)
+            a = abs(axis) - 1
+            if a == 0:
+                R = np.stack([o, z, z, z, c, -s, z, s, c], axis=-1)
+            elif a == 1:
+                R = np.stack([c, z, s, z, o, z, -s, z, c], axis=-1)
+            else:
+                R = np.stack([c, -s, z, s, c, z, z, z, o], axis=-1)
+            R = R.reshape(B, 3, 3)
+            fk_r = np.einsum("bxy,yz,bzw->bxw", fk_r, robot.rot_mats[i], R)
+        else:
+            fk_r = np.einsum("bxy,yz->bxz", fk_r, robot.rot_mats[i])
+        ps[:, i] = fk_t
+    ps[:, robot.num_joints] = fk_t + np.einsum(
+        "bxy,y->bx", fk_r, robot.trans[robot.num_joints])
+    return ps
+
+
 def ik_damped_ls(robot: RobotModel, target: np.ndarray, q0: np.ndarray,
                  iters: int = 100, tol: float = 1e-4, damping: float = 1e-2,
                  accept_tol: float = 1e-2):
@@ -357,92 +390,204 @@ class ConfigRRTStarHLP:
                            np.minimum(robot.position_limits_ub, np.pi))
         self.goal = np.asarray(world.goal, float)
         self._path: Optional[np.ndarray] = None
+        self._reaches_goal = False
+        self._root = np.asarray(world.start, float)
+        self._relax_halves: Optional[np.ndarray] = None
+        self._relax_radius = 1.0
 
-    # -- collision model ----------------------------------------------------
+    # -- collision model (batched numpy: thousands of configs per grow) -----
+
+    def _hits(self, Q: np.ndarray, halves: np.ndarray) -> np.ndarray:
+        pts = _fk_points_batch(self.robot, Q)          # [B, J+1, 3]
+        a, b = pts[:, :-1], pts[:, 1:]                 # [B, S, 3]
+        ts = np.linspace(0.0, 1.0, 10)
+        samp = a[:, :, None, :] + ts[None, None, :, None] * (b - a)[:, :, None, :]
+        # [B, S, n, O, 3]
+        d = (np.abs(samp[:, :, :, None, :] - self.obs_c[None, None, None, :, :])
+             - halves[None, None, None, :, :])
+        return np.any(np.all(d < 0.0, axis=-1), axis=(1, 2, 3))
+
+    def _configs_free(self, Q: np.ndarray) -> np.ndarray:
+        """[B, F] -> [B] bool: swept-arm capsule check for a batch of
+        configurations (every consecutive joint-origin pair sampled at 10
+        points vs the buffered obstacle AABBs).
+
+        Root-pocket relaxation: when the tree root itself violates the
+        buffered model (the planner parks arms against walls), configs
+        within `_relax_radius` rad of the root are tested with the shrunk
+        buffer instead — the tree can ESCAPE the pocket but the rest of the
+        roadmap keeps full clearance (a global shrink made every path hug
+        the walls and the certified planner could not track them)."""
+        Q = np.atleast_2d(Q)
+        if self.obs_c.size == 0:
+            return np.ones(Q.shape[0], dtype=bool)
+        hit = self._hits(Q, self.obs_half)
+        if self._relax_halves is not None:
+            near = np.linalg.norm(Q - self._root[None, :], axis=1) \
+                < self._relax_radius
+            if np.any(near & hit):
+                hit_rel = self._hits(Q[near & hit], self._relax_halves)
+                out = hit.copy()
+                out[near & hit] = hit_rel
+                hit = out
+        return ~hit
 
     def _config_free(self, q: np.ndarray) -> bool:
-        pts = _fk_frames(self.robot, q)          # [J+1, 3] joint origins + ee
-        if self.obs_c.size == 0:
-            return True
-        for a, b in zip(pts[:-1], pts[1:]):
-            if _segment_hits_boxes(a, b, self.obs_c, self.obs_half, step=0.03):
-                return False
-        return True
+        return bool(self._configs_free(np.asarray(q, float)[None])[0])
 
     def _edge_free(self, qa: np.ndarray, qb: np.ndarray) -> bool:
         n = max(2, int(np.ceil(np.max(np.abs(qb - qa)) / self.edge_step)) + 1)
-        for t in np.linspace(0.0, 1.0, n):
-            if not self._config_free(qa + t * (qb - qa)):
-                return False
-        return True
+        ts = np.linspace(0.0, 1.0, n)[:, None]
+        Q = qa[None, :] + ts * (qb - qa)[None, :]
+        return bool(np.all(self._configs_free(Q)))
 
-    # -- tree growth --------------------------------------------------------
+    # -- tree growth: bidirectional greedy connect --------------------------
+    #
+    # The round-3 single-tree RRT* covered 7-DOF config space too slowly to
+    # reach goals behind clutter within the node budget (observed: closest
+    # node 2.6 rad from the goal after 2000 samples on suite scenes).  The
+    # rewrite grows TWO trees (root + goal) with RRT-Connect-style greedy
+    # multi-step extension and checks tree-tree connection every iteration;
+    # the recovered path is shortcut-smoothed.  Asymptotic optimality is
+    # deliberately traded for coverage — this is guidance, not the
+    # certificate (the reference ships plain RRT variants alongside RRT*,
+    # simulator/planners/high_level_planners/).
 
-    def _grow(self, root: np.ndarray):
-        # The planner parks arms AGAINST obstacle walls (boundary optima), so
-        # the root configuration routinely violates the buffered capsule
-        # model even though the true arm is safe.  Halve the guidance buffer
-        # until the root tests free (certified safety lives in the PZ
-        # planner, not here; a thin-buffer roadmap is still useful guidance).
-        base_half = self.obs_half
-        for _ in range(5):
-            if self._config_free(np.asarray(root, float)):
-                break
-            self.obs_half = np.maximum(self.obs_half - 0.5 * self.buffer,
-                                       base_half - self.buffer)
-        t = _Tree(nodes=[np.asarray(root, float)], parents=[-1], costs=[0.0])
-        best_goal, best_cost = None, np.inf
-        goal_free = self._config_free(self.goal)
-        for _ in range(self.max_nodes):
-            if self.rng.uniform() < self.goal_bias:
-                sample = self.goal
-            else:
-                sample = self.rng.uniform(self.lb, self.ub)
-            nodes = np.asarray(t.nodes)
-            d = np.linalg.norm(nodes - sample[None, :], axis=1)
-            ni = int(np.argmin(d))
-            direction = sample - nodes[ni]
-            dist = np.linalg.norm(direction)
+    def _extend(self, t: _Tree, target: np.ndarray):
+        """Greedy multi-step extension toward target.  Returns (last_index,
+        reached) where reached means the tree now contains target."""
+        nodes = np.asarray(t.nodes)
+        ni = int(np.argmin(np.linalg.norm(nodes - target[None, :], axis=1)))
+        q = t.nodes[ni]
+        parent = ni
+        last = None
+        for _ in range(16):
+            d = target - q
+            dist = np.linalg.norm(d)
             if dist < 1e-9:
-                continue
-            new = nodes[ni] + direction * min(1.0, self.steer / dist)
-            if not self._config_free(new) or not self._edge_free(nodes[ni], new):
-                continue
-            near = np.where(
-                np.linalg.norm(nodes - new[None, :], axis=1) < self.rewire_radius
-            )[0]
-            parent = ni
-            cost = t.costs[ni] + np.linalg.norm(new - nodes[ni])
-            for j in near:
-                cj = t.costs[j] + np.linalg.norm(t.nodes[j] - new)
-                if cj < cost and self._edge_free(t.nodes[j], new):
-                    parent, cost = int(j), cj
-            t.nodes.append(new)
+                return last, True
+            step = q + d * min(1.0, self.steer / dist)
+            if not self._edge_free(q, step):
+                return last, False
+            t.nodes.append(step)
             t.parents.append(parent)
-            t.costs.append(cost)
-            new_i = len(t.nodes) - 1
-            for j in near:
-                cj = cost + np.linalg.norm(t.nodes[j] - new)
-                if cj < t.costs[j] and self._edge_free(new, t.nodes[j]):
-                    t.parents[j] = new_i
-                    t.costs[j] = cj
-            gd = np.linalg.norm(new - self.goal)
-            if goal_free and gd < self.steer and cost + gd < best_cost \
-                    and self._edge_free(new, self.goal):
-                best_cost = cost + gd
-                best_goal = new_i
-        self._tree = t
-        if best_goal is None:
-            nodes = np.asarray(t.nodes)
-            best_goal = int(np.argmin(np.linalg.norm(nodes - self.goal[None, :], axis=1)))
-            path = []
-        else:
-            path = [self.goal]
-        i = best_goal
+            t.costs.append(t.costs[parent] + min(self.steer, dist))
+            parent = len(t.nodes) - 1
+            last = parent
+            q = step
+            if dist <= self.steer:
+                return last, True
+        return last, False
+
+    def _chain(self, t: _Tree, i: int):
+        path = []
         while i >= 0:
             path.append(t.nodes[i])
             i = t.parents[i]
-        self._path = np.asarray(path[::-1])
+        return path[::-1]
+
+    def _shortcut(self, path):
+        """Greedy shortcut smoothing: skip intermediate nodes whose direct
+        edge is free."""
+        if len(path) <= 2:
+            return path
+        out = [path[0]]
+        i = 0
+        while i < len(path) - 1:
+            j = len(path) - 1
+            while j > i + 1 and not self._edge_free(path[i], path[j]):
+                j -= 1
+            out.append(path[j])
+            i = j
+        return out
+
+    def _densify(self, path, step):
+        out = [path[0]]
+        for a, b in zip(path[:-1], path[1:]):
+            n = max(1, int(np.ceil(np.linalg.norm(b - a) / step)))
+            for t in np.linspace(0.0, 1.0, n + 1)[1:]:
+                out.append(a + t * (b - a))
+        return out
+
+    def _smooth(self, path):
+        """Greedy + random-pair shortcutting over a densified path: connect
+        trees yield feasible-but-wiggly paths; smoothing makes them taut so
+        lookahead waypoints track toward the goal instead of along detours."""
+        path = self._shortcut(list(path))
+        if len(path) <= 2:
+            return path
+        path = self._densify(path, 0.5 * self.steer)
+        for _ in range(120):
+            if len(path) <= 2:
+                break
+            i, j = sorted(int(x) for x in self.rng.integers(0, len(path), 2))
+            if j - i >= 2 and self._edge_free(path[i], path[j]):
+                path = path[: i + 1] + path[j:]
+        return self._shortcut(path)
+
+    def _grow_once(self, root: np.ndarray):
+        """One bidirectional connect attempt at the CURRENT buffer settings.
+        Returns (path_nodes | None, fallback_tree)."""
+        ta = _Tree(nodes=[root], parents=[-1], costs=[0.0])
+        tb = _Tree(nodes=[np.asarray(self.goal, float)], parents=[-1],
+                   costs=[0.0])
+        goal_free = self._config_free(self.goal)
+        fwd = True
+        for _ in range(self.max_nodes):
+            sample = (np.asarray(self.goal, float)
+                      if self.rng.uniform() < self.goal_bias
+                      else self.rng.uniform(self.lb, self.ub))
+            src, dst = (ta, tb) if fwd else (tb, ta)
+            last, _ = self._extend(src, sample)
+            if last is not None and goal_free:
+                # try to connect the OTHER tree to the new node
+                bridge, reached = self._extend(dst, np.asarray(src.nodes[last]))
+                if reached and bridge is not None:
+                    meet = (last, bridge) if fwd else (bridge, last)
+                    return (self._chain(ta, meet[0])
+                            + self._chain(tb, meet[1])[::-1]), ta
+            fwd = not fwd
+            if len(ta.nodes) + len(tb.nodes) >= self.max_nodes:
+                break
+        return None, ta
+
+    def _grow(self, root: np.ndarray):
+        root = np.asarray(root, float)
+        # The planner parks arms AGAINST obstacle walls (boundary optima), so
+        # the root configuration routinely violates the buffered capsule
+        # model even though the true arm is safe.  Shrink a LOCAL buffer
+        # until the root tests free (certified safety lives in the PZ
+        # planner, not here); _configs_free applies it only near the root.
+        self._root = root
+        self._relax_halves = None
+        for frac in (0.5, 0.0):
+            if self._config_free(root):
+                break
+            self._relax_halves = np.maximum(
+                self.obs_half - (1.0 - frac) * self.buffer, 0.0)
+        # connect at full buffer; on failure retry with a GLOBALLY thinner
+        # buffer — suite scenes have corridors the 8 cm capsule cannot pass
+        # but the certified planner (whose own padding is ~1-3 cm) can.
+        base_half = self.obs_half
+        try:
+            for scale in (1.0, 0.5, 0.25, 0.0):
+                self.obs_half = np.maximum(
+                    base_half - (1.0 - scale) * self.buffer, 0.0)
+                path, ta = self._grow_once(root)
+                self._tree = ta
+                if path is not None:
+                    self._path = np.asarray(self._smooth(path))
+                    self._reaches_goal = True
+                    return
+            # no connection at any buffer: walk toward the closest-to-goal
+            # node of the last attempt's root tree
+            nodes = np.asarray(ta.nodes)
+            best = int(np.argmin(
+                np.linalg.norm(nodes - self.goal[None, :], axis=1)))
+            self._path = np.asarray(self._smooth(self._chain(ta, best)))
+            self._reaches_goal = False
+        finally:
+            self.obs_half = base_half
 
     def get_waypoint(self, q: np.ndarray) -> np.ndarray:
         """Walk the configuration path `lookahead` rad (arclength) forward of

@@ -394,8 +394,9 @@ def run_trial(
             from .hlp import ConfigRRTStarHLP
 
             fallback_count += 1
-            fallback_hlp = ConfigRRTStarHLP(world, robot,
-                                            seed=7919 * fallback_count)
+            fallback_hlp = ConfigRRTStarHLP(
+                world, robot, buffer=0.08 + 0.04 * (fallback_count - 1),
+                seed=7919 * fallback_count)
             stall_iters = 0
             if verbose:
                 print(f"iter {it}: stalled at gd={gd:.2f} -> "

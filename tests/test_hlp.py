@@ -127,11 +127,17 @@ def test_config_rrt_star_waypoints_track_collision_free_path(robot):
     assert path is not None and len(path) >= 2
     for qn in path:
         assert hlp._config_free(qn)
-    # iterating waypoints converges toward the goal configuration
+    # iterating waypoints eventually converges to the goal configuration
+    # (the connect-style path may detour around the obstacle, so allow the
+    # full path length rather than a fixed step count)
     q = start.copy()
-    for _ in range(12):
+    reached = False
+    for _ in range(40):
         q = hlp.get_waypoint(q)
-    assert np.linalg.norm(q - goal) < np.linalg.norm(start - goal)
+        if np.linalg.norm(q - goal) < 1e-9:
+            reached = True
+            break
+    assert reached, np.linalg.norm(q - goal)
 
 
 def test_config_rrt_star_empty_world_heads_to_goal(robot):
