@@ -189,3 +189,43 @@ def test_smooth_obstacle_mode_sound_and_solves():
                jnp.asarray(Q_DES), obs)
     assert bool(res.feasible)
     assert np.all(np.isfinite(np.asarray(res.k)))
+
+
+def test_infeasible_trial_attribution_and_retreat(tmp_path):
+    """Driver semantics under permanent infeasibility (stubbed planner that
+    always reports a collision-blocked problem): the trial must stop after
+    stop_threshold consecutive failures, attribute every failed plan to the
+    collision group, switch waypoints to the retreat target, and keep every
+    safety oracle quiet (the braking reference holds the arm at rest)."""
+    from armour_tpu.nlp import SolveResult
+    from armour_tpu.simulator import run_trial, sample_true_params
+    from armour_tpu.worlds import World
+
+    def stub_step(q0, qd0, qdd0, q_des, obs):
+        nan = jnp.full((7,), jnp.nan, CFG.dtype)
+        return SolveResult(
+            k=nan, feasible=jnp.asarray(False),
+            cost=jnp.asarray(jnp.inf, CFG.dtype),
+            viol=jnp.asarray([0.0, 0.5, 0.0, 0.0], CFG.dtype),
+        )
+
+    w = World(start=Q0, goal=Q0 + 1.0,
+              obstacle_centers=np.array([[2.0, 2.0, 2.0]]),
+              obstacle_generators=np.diag([0.05] * 3)[None])
+    obs = pad_obstacles(w.obstacle_centers, w.obstacle_generators,
+                        CFG.max_obstacles, CFG.dtype)
+    tp = sample_true_params(ROBOT, np.random.default_rng(0), scale=1.0)
+    trace = str(tmp_path / "trace.npz")
+    s = run_trial(w, ROBOT, CFG, stub_step, obs, tp, max_iterations=8,
+                  trace_path=trace)
+    assert s.stuck
+    assert s.infeasible_plans == 4          # stop_threshold
+    assert s.blocked_counts == {"collision": 4}
+    assert not (s.collision or s.torque_exceeded
+                or s.ultimate_bound_exceeded or s.joint_limit_exceeded)
+    # retreat: after the first failure every waypoint is the last feasible
+    # plan-start state (= the start, since no plan ever succeeded)
+    rec = np.load(trace)
+    wps = rec["waypoint"][1:]
+    np.testing.assert_allclose(
+        wps, np.broadcast_to(np.asarray(Q0), wps.shape), atol=1e-6)
