@@ -185,6 +185,36 @@ def main():
     fig2.savefig(f"{prefix}_errors.png", dpi=110)
     print(f"wrote {prefix}_errors.png")
 
+    if len(sys.argv) > 4 and sys.argv[4] == "gif":
+        render_gif(f"{prefix}_replay.gif", robot, q, q_des, tr, t,
+                   start_ee, goal_ee, first)
+
+
+def render_gif(out_path, robot, q, q_des, tr, t, start_ee, goal_ee, first,
+               max_frames: int = 60, fps: int = 10):
+    """Animated replay (the reference's robot_arm_agent plotting/animation
+    layer, robot_arm_agent.m:1146-1210 — MATLAB animates live; headless TPU
+    boxes export a GIF instead).  Pass 'gif' as the 4th CLI arg."""
+    from matplotlib import animation
+
+    sel = np.linspace(0, len(t) - 1, min(max_frames, len(t))).astype(int)
+    fig = plt.figure(figsize=(5, 4.4))
+    ax = fig.add_subplot(111, projection="3d")
+
+    def update(fi):
+        ax.cla()
+        si = int(sel[fi])
+        mark = " [VIOLATION]" if first is not None and si >= first else ""
+        draw_frame(ax, robot, q[si], q_des[si], tr["obstacle_centers"],
+                   tr["obstacle_generators"], start_ee, goal_ee,
+                   f"t={t[si]:.2f}s{mark}")
+        return []
+
+    anim = animation.FuncAnimation(fig, update, frames=len(sel), blit=False)
+    anim.save(out_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    print(f"wrote {out_path}")
+
 
 if __name__ == "__main__":
     main()
