@@ -230,8 +230,12 @@ def run_trials_batched(
         stall_ref_gd = np.where(progressed, gd_min, stall_ref_gd)
         stall_count = np.where(progressed | ~active, 0, stall_count + 1)
         infeas_trigger = active & (stop_count == 2) & (fallback_regrows == 0)
-        for i in np.where(active & ((stall_count >= stall_window)
-                                    | infeas_trigger))[0]:
+        # cap regrows: past ~6 attempts the world is guidance-proof (the
+        # corridor is uncertifiable for the padded FRS) and each regrow
+        # costs host seconds that throttle the whole lockstep batch
+        may_regrow = fallback_regrows < 6
+        for i in np.where(active & may_regrow
+                          & ((stall_count >= stall_window) | infeas_trigger))[0]:
             from .hlp import ConfigRRTStarHLP
 
             # widen the guidance buffer on every regrow: if the previous

@@ -84,3 +84,80 @@ def make_batch_planner(robot: RobotModel, cfg: ArmourConfig):
         return jax.vmap(fn)(q0, qd0, qdd0, q_des, obs)
 
     return step
+
+
+def make_realtime_planner(robot: RobotModel, cfg: ArmourConfig,
+                          example_args=None, time_buffer: float = 0.05,
+                          min_outer: int = 2, verbose: bool = False):
+    """Budget-respecting planner (armour_main.cu:227-229 semantics).
+
+    The reference allocates the solver `0.5*DURATION - t_reachsets - 0.05` s
+    of wall time per solve and lets Ipopt stop on the clock.  A jitted TPU
+    program cannot watch the clock, so the budget is enforced at COMPILE
+    CALIBRATION time instead: measure the reachset prefix, derive the solver
+    budget, then lower solver_outer_iters until the measured full step fits
+    `t_reachsets + budget`.  Returns (step_fn, calibration_dict).
+
+    example_args: (q0, qd0, qdd0, q_des, obs) used for timing; defaults to a
+    synthetic two-obstacle scene.
+    """
+    import dataclasses
+    import time
+
+    import numpy as np
+
+    from .dynamics import torque_frs
+    from .jrs import build_jrs
+    from .kinematics import forward_occupancy, reduce_links
+
+    if example_args is None:
+        from .collision import pad_obstacles
+
+        rng = np.random.default_rng(0)
+        q0 = jnp.asarray(rng.uniform(-0.5, 0.5, robot.num_factors), cfg.dtype)
+        c = np.array([[0.6, 0.6, 0.6], [-0.6, -0.5, 0.8]])
+        g = np.stack([np.diag([0.05] * 3)] * 2)
+        example_args = (q0, jnp.zeros_like(q0), jnp.zeros_like(q0), q0 + 0.04,
+                        pad_obstacles(c, g, cfg.max_obstacles, cfg.dtype))
+
+    basis = make_basis(robot.num_factors, cfg.max_poly_degree)
+
+    def timed(fn, iters=5):
+        jax.block_until_ready(fn(*example_args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*example_args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    @jax.jit
+    def reachsets_only(q0, qd0, qdd0, q_des, obs):
+        jrs = build_jrs(q0, qd0, qdd0, robot, cfg, basis)
+        frs = reduce_links(forward_occupancy(jrs, robot, cfg, basis), basis)
+        tq = torque_frs(jrs, robot, cfg, basis)
+        hyp = build_hyperplanes(frs, obs)
+        sc = screen_collision(hyp, obs, frs, cfg.screen_k)
+        return tq.torque_radius.sum() + sc.d.sum()
+
+    t_rs = timed(reachsets_only)
+    budget = 0.5 * cfg.duration - t_rs - time_buffer
+    deadline = t_rs + budget
+
+    outer = cfg.solver_outer_iters
+    chosen = None
+    while outer >= min_outer:
+        cfg_i = dataclasses.replace(cfg, solver_outer_iters=outer,
+                                    solver_cull_after=min(
+                                        cfg.solver_cull_after, max(outer - 1, 0)))
+        step_i = make_planner(robot, cfg_i)
+        dt = timed(step_i)
+        if verbose:
+            print(f"realtime calibration: outer={outer} step={dt * 1e3:.1f} ms "
+                  f"(deadline {deadline * 1e3:.1f} ms)")
+        chosen = (step_i, {"t_reachsets_s": t_rs, "budget_s": budget,
+                           "outer_iters": outer, "step_s": dt,
+                           "fits_budget": dt <= deadline})
+        if dt <= deadline:
+            break
+        outer -= 1
+    return chosen

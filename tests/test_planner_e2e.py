@@ -229,3 +229,18 @@ def test_infeasible_trial_attribution_and_retreat(tmp_path):
     wps = rec["waypoint"][1:]
     np.testing.assert_allclose(
         wps, np.broadcast_to(np.asarray(Q0), wps.shape), atol=1e-6)
+
+
+def test_realtime_planner_calibration():
+    """make_realtime_planner derives the solver budget from the measured
+    reachset time (armour_main.cu:227-229) and returns a step whose
+    calibration reports a positive budget and a working solve."""
+    from armour_tpu.planner import make_realtime_planner
+
+    step, cal = make_realtime_planner(ROBOT, CFG)
+    assert cal["budget_s"] > 0
+    assert cal["outer_iters"] >= 2
+    obs = pad_obstacles(OBS_C, OBS_G, CFG.max_obstacles, CFG.dtype)
+    res = step(jnp.asarray(Q0), jnp.asarray(QD0), jnp.asarray(QDD0),
+               jnp.asarray(Q_DES), obs)
+    assert bool(res.feasible)
