@@ -169,6 +169,13 @@ def run_trials_batched(
     qd = jnp.zeros_like(q)
     ref = jax.vmap(lambda s: initial_plan(s, dt))(starts)
 
+    # warm-up: compile the planner outside the timed loop so plan_times
+    # reflects real solves, not the first-call jit (the round-4 suite
+    # artifact reported max_planning_time 0.625 s that was purely
+    # compile-share)
+    q0w, qd0w, qdd0w, wpw = plan_inputs(ref)
+    jax.block_until_ready(planner(q0w, qd0w, qdd0w, wpw, obs))
+
     wp_cache = np.asarray(goals_np, dtype=np.float64).copy()
 
     for it in range(max_iterations):

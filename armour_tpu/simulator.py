@@ -318,6 +318,11 @@ def run_trial(
 
     rollout = rollout if rollout is not None else make_rollout(robot, cfg)
     oracles = oracles if oracles is not None else make_oracles(robot, cfg)
+    # warm-up compile outside the timed loop (see batch_sim)
+    _q0w = jnp.asarray(world.start, cfg.dtype)
+    _zw = jnp.zeros_like(_q0w)
+    jax.block_until_ready(
+        planner_step(_q0w, _zw, _zw, _q0w, obs))
     trace = {"q": [], "qd": [], "u": [], "q_des": [], "qd_des": [],
              "k": [], "waypoint": [], "feasible": []} if trace_path else None
 
