@@ -168,9 +168,10 @@ def rnea_pz_sets(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
                 bpz.cross(w, bpz.cross_pz_const(w_aux, trans_i), basis, slop),
             ),
         )
-        # fused rotation of (w | w_aux | wdot | acc) (Dynamics.cu lines 13-16)
+        # fused rotation of (w | w_aux | wdot | acc) (Dynamics.cu lines 13-16);
+        # rotation PZs are degree<=1 in k -> linear-operand fast path
         stacked = _col_stack([w, w_aux, wdot, acc_arg])        # [T, 3, 4]
-        rotated = bpz.matmul(rt, stacked, basis, slop)
+        rotated = bpz.matmul_linear(rt, stacked, basis, slop)
         w, w_aux, wdot, lin_acc = (_col(rotated, j) for j in range(4))
 
         qd_vec = _embed(bpz.scale(qd_i, rev_i), e_i)
@@ -201,12 +202,13 @@ def rnea_pz_sets(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
                     bpz.cross(w, bpz.cross_pz_const(w_aux, com_i), basis, slop),
                 ),
             )
-        # m_i [P] -> [P, 1, 1]; I_i [P, 3, 3] -> [P, 1, 3, 3]
-        m_b = BPZ(coef=m_i.coef[:, None, None, :], egen=m_i.egen[:, None, None, :],
-                  rad=m_i.rad[:, None, None])
-        F_i = bpz.mul(m_b, f_arg, basis, slop)
-        I_b = BPZ(coef=I_i.coef[:, None], egen=I_i.egen[:, None], rad=I_i.rad[:, None])
-        Iw = bpz.matmul(I_b, _col_stack([wdot, w]), basis, slop)
+        # mass/inertia are pure interval PZs (from_interval, Dynamics.cu:30-41)
+        # -> exact interval-operand products, no pair-table expansion.
+        # m [P] -> [P, 1, 1]; I [P, 3, 3] -> [P, 1, 3, 3]
+        F_i = bpz.mul_interval(m_i.coef[:, None, None, 0], m_i.rad[:, None, None],
+                               f_arg, slop)
+        Iw = bpz.matmul_interval(I_i.coef[:, None, ..., 0], I_i.rad[:, None],
+                                 _col_stack([wdot, w]), slop)
         N_i = bpz.add(_col(Iw, 0), bpz.cross(w_aux, _col(Iw, 1), basis, slop))
         return (w, w_aux, wdot, lin_acc), (F_i, N_i)
 
@@ -221,7 +223,7 @@ def rnea_pz_sets(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
         f, n = carry
         (r_ip1, F_i, N_i, qd_i, qdda_i, com_pz_i, trans_ip1, com_i, e_i, rev_i,
          arm_i, damp_i) = inp
-        rot = bpz.matmul(r_ip1, _col_stack([f, n]), basis, slop)
+        rot = bpz.matmul_linear(r_ip1, _col_stack([f, n]), basis, slop)
         rf, rn = _col(rot, 0), _col(rot, 1)
         if com_uncertain:
             com_b = BPZ(coef=com_pz_i.coef[:, None], egen=com_pz_i.egen[:, None],

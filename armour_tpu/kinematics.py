@@ -98,8 +98,10 @@ def forward_occupancy(jrs: JRS, robot: RobotModel, cfg: ArmourConfig,
         fk_r, fk_t = carry
         r_i, box_i, trans_i = inp
         fk_t = bpz.add(fk_t, bpz.matvec_cvec(fk_r, trans_i))
-        fk_r = bpz.matmul(fk_r, r_i, basis, cfg.float_slop)
-        link = bpz.add(bpz.matvec(fk_r, box_i, basis, cfg.float_slop), fk_t)
+        # R_i is a degree<=1 rotation PZ; the box has constant-only k-coefs
+        # (shape generators live in dedicated error slots) -> fast paths
+        fk_r = bpz.matmul_linear_right(fk_r, r_i, basis, cfg.float_slop)
+        link = bpz.add(bpz.matvec_const_coef(fk_r, box_i, cfg.float_slop), fk_t)
         return (fk_r, fk_t), link
 
     _, links = jax.lax.scan(body, (fk_r0, fk_t0), (R_j, boxes, trans[:J]))

@@ -502,7 +502,7 @@ def _alm_phases(prob: PlanProblem, robot: RobotModel, cfg: ArmourConfig,
         # penalty stays 0 while feasible); with only {1.0, 0.2} both trials
         # could land past the wall and the solver froze at its seed
         # (observed: k=0 returned while 50% of the k-box was feasible)
-        alphas = jnp.asarray([1.0, 0.25, 0.0625, 0.015625], dt)
+        alphas = jnp.asarray(cfg.solver_alphas, dt)
         kks, merits, ccs = jax.vmap(try_alpha)(alphas)
         # every line-search candidate is also a best-feasible candidate —
         # transiently-feasible iterates must not be lost (a boundary optimum

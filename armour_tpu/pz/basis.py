@@ -149,3 +149,28 @@ def error_layout(nf: int = 7):
         "shape": slice(5 * nf, 5 * nf + 3),
         "size": 5 * nf + 3,
     }
+
+
+@functools.lru_cache(maxsize=8)
+def linear_tables(nf: int = 7, max_degree: int = 3):
+    """Static tables for products with a DEGREE<=1 left/right operand
+    (rotation PZs: cos/sin carry one linear k-monomial each,
+    Trajectory.cu:63-254), bypassing the full pair-table expansion:
+
+      src[i, m]  : basis index s with mono(m) = k_i * mono(s), or B (the
+                   zero-pad sentinel) when degs[m][i] == 0;
+      ovf[m]     : True when k_i * mono(m) leaves the basis for every i
+                   (total degree == cap) — |coef| mass that must be
+                   outward-rounded into the radius.
+    """
+    basis = make_basis(nf, max_degree)
+    B = basis.size
+    src = np.full((nf, B), B, dtype=np.int32)
+    for m, d in enumerate(map(tuple, basis.degs)):
+        for i in range(nf):
+            if d[i] >= 1:
+                d2 = list(d)
+                d2[i] -= 1
+                src[i, m] = basis.index[tuple(d2)]
+    ovf = (basis.degs.sum(axis=1) == max_degree)
+    return src, ovf

@@ -172,6 +172,193 @@ def mul(a: BPZ, b: BPZ, basis: KBasis, slop: float = 0.0) -> BPZ:
     return bilinear(a, b, lambda x, y: x * y, lambda x, y: x * y, basis, slop)
 
 
+def mul_interval(c: jnp.ndarray, r: jnp.ndarray, b: BPZ,
+                 slop: float = 0.0) -> BPZ:
+    """(c + r*[-1,1]) * b elementwise — the EXACT bilinear result when the
+    left operand is a pure interval PZ (coef only at the constant monomial,
+    no error generators), without the 680-entry pair-table expansion.  The
+    inertial-parameter PZs (mass/inertia/COM, Dynamics.cu:30-41) have
+    exactly this structure, and their products dominate the PZ-RNEA cost.
+    c, r broadcast against b's element shape."""
+    cc = c[..., None]
+    coef = cc * b.coef
+    egen = cc * b.egen
+    Tb = (jnp.sum(jnp.abs(b.coef), axis=-1) + jnp.sum(jnp.abs(b.egen), axis=-1)
+          + b.rad)
+    rad = jnp.abs(c) * b.rad + r * Tb
+    if slop:
+        rad = rad + slop * (jnp.sum(jnp.abs(coef), axis=-1)
+                            + jnp.sum(jnp.abs(egen), axis=-1) + rad)
+    return BPZ(coef=coef, egen=egen, rad=rad)
+
+
+def matmul_linear(a: BPZ, b: BPZ, basis: KBasis, slop: float = 0.0) -> BPZ:
+    """a @ b where a is a matrix PZ whose k-coefficients are DEGREE <= 1
+    (rotation PZs; Trajectory.cu:63-254 builds them from one linear
+    cos/sin monomial per joint).  Exactly the generic bilinear result for
+    such operands — nonexistent higher-degree a-coefficients contribute
+    nothing — but via an [nf, B] shift-gather instead of the 680-pair
+    expansion + scatter matmul, which dominated the PZ-RNEA profile.
+
+    a [..., n, m, :], b [..., m, p, :] -> [..., n, p, :]."""
+    from .basis import linear_tables
+
+    dt = a.coef.dtype
+    SRC, OVF = linear_tables(basis.nf, basis.max_degree)
+    SRC = jnp.asarray(SRC)                              # [F, B]
+    ovf_mask = jnp.asarray(OVF, dt)                     # [B]
+    lin = jnp.asarray(basis.lin_idx)                    # [F]
+
+    n, m = a.coef.shape[-3], a.coef.shape[-2]
+    p = b.coef.shape[-2]
+    B = b.coef.shape[-1]
+
+    a0 = a.coef[..., 0]                                 # [..., n, m]
+    a_lin = a.coef[..., lin]                            # [..., n, m, F]
+    b0 = b.coef[..., 0]                                 # [..., m, p]
+    # shift-gather: gath[..., m, p, f, :] = coef of mono/k_f (0 if absent)
+    b_pad = jnp.concatenate(
+        [b.coef, jnp.zeros(b.coef.shape[:-1] + (1,), dt)], axis=-1)
+    gath = b_pad[..., SRC]                              # [..., m, p, F, B]
+
+    Sa = jnp.sum(jnp.abs(a.coef), axis=-1)
+    Ea = jnp.sum(jnp.abs(a.egen), axis=-1)
+    Sb = jnp.sum(jnp.abs(b.coef), axis=-1)
+    Eb = jnp.sum(jnp.abs(b.egen), axis=-1)
+    Ta = Sa + Ea
+    Tb = Sb + Eb
+    A1 = jnp.sum(jnp.abs(a_lin), axis=-1)               # [..., n, m]
+    ovfsum = jnp.sum(jnp.abs(b.coef) * ovf_mask, axis=-1)   # [..., m, p]
+
+    rows_c, rows_e, rows_r = [], [], []
+    for i in range(n):
+        cols_c, cols_e, cols_r = [], [], []
+        for k in range(p):
+            cacc = eacc = None
+            racc = None
+            for j in range(m):
+                c_j = (a0[..., i, j, None] * b.coef[..., j, k, :]
+                       + jnp.sum(a_lin[..., i, j, :, None]
+                                 * gath[..., j, k, :, :], axis=-2))
+                e_j = (a0[..., i, j, None] * b.egen[..., j, k, :]
+                       + a.egen[..., i, j, :] * b0[..., j, k, None])
+                r_j = (Ta[..., i, j] * b.rad[..., j, k]
+                       + a.rad[..., i, j] * (Tb[..., j, k] + b.rad[..., j, k])
+                       + Ea[..., i, j] * (Sb[..., j, k]
+                                          - jnp.abs(b0[..., j, k]) + Eb[..., j, k])
+                       + (Sa[..., i, j] - jnp.abs(a0[..., i, j])) * Eb[..., j, k]
+                       + A1[..., i, j] * ovfsum[..., j, k])
+                cacc = c_j if cacc is None else cacc + c_j
+                eacc = e_j if eacc is None else eacc + e_j
+                racc = r_j if racc is None else racc + r_j
+            cols_c.append(cacc)
+            cols_e.append(eacc)
+            cols_r.append(racc)
+        rows_c.append(jnp.stack(cols_c, axis=-2))
+        rows_e.append(jnp.stack(cols_e, axis=-2))
+        rows_r.append(jnp.stack(cols_r, axis=-1))
+    coef = jnp.stack(rows_c, axis=-3)
+    egen = jnp.stack(rows_e, axis=-3)
+    rad = jnp.stack(rows_r, axis=-2)
+    if slop:
+        rad = rad + slop * (jnp.sum(jnp.abs(coef), axis=-1)
+                            + jnp.sum(jnp.abs(egen), axis=-1) + rad)
+    return BPZ(coef=coef, egen=egen, rad=rad)
+
+
+def _transpose_mat(p: BPZ) -> BPZ:
+    return BPZ(coef=jnp.swapaxes(p.coef, -3, -2),
+               egen=jnp.swapaxes(p.egen, -3, -2),
+               rad=jnp.swapaxes(p.rad, -2, -1))
+
+
+def matmul_linear_right(a: BPZ, b_lin: BPZ, basis: KBasis,
+                        slop: float = 0.0) -> BPZ:
+    """a @ b where the RIGHT operand is the degree<=1 rotation PZ (the FK
+    chain accumulates fk_r @ R_i, Dynamics.cu:69-81): a @ b = (b^T @ a^T)^T
+    with the transpose a free axis swap."""
+    return _transpose_mat(
+        matmul_linear(_transpose_mat(b_lin), _transpose_mat(a), basis, slop))
+
+
+def matvec_const_coef(a: BPZ, b: BPZ, slop: float = 0.0) -> BPZ:
+    """a [..., n, m, :] @ b [..., m, :] where b's k-coefficients live ONLY at
+    the constant monomial (link box PZs: center + dedicated shape error
+    generators, Dynamics.cu:51-66) — exact, no pair table."""
+    n, m = a.coef.shape[-3], a.coef.shape[-2]
+    b0 = b.coef[..., 0]                                  # [..., m]
+    Sa = jnp.sum(jnp.abs(a.coef), axis=-1)
+    Ea = jnp.sum(jnp.abs(a.egen), axis=-1)
+    Eb = jnp.sum(jnp.abs(b.egen), axis=-1)
+    Ta = Sa + Ea
+
+    rows_c, rows_e, rows_r = [], [], []
+    for i in range(n):
+        cacc = eacc = racc = None
+        for j in range(m):
+            c_j = a.coef[..., i, j, :] * b0[..., j, None]
+            e_j = (a.coef[..., i, j, 0, None] * b.egen[..., j, :]
+                   + a.egen[..., i, j, :] * b0[..., j, None])
+            r_j = (Ta[..., i, j] * b.rad[..., j]
+                   + a.rad[..., i, j] * (jnp.abs(b0[..., j]) + Eb[..., j]
+                                         + b.rad[..., j])
+                   + (Sa[..., i, j] - jnp.abs(a.coef[..., i, j, 0])
+                      + Ea[..., i, j]) * Eb[..., j])
+            cacc = c_j if cacc is None else cacc + c_j
+            eacc = e_j if eacc is None else eacc + e_j
+            racc = r_j if racc is None else racc + r_j
+        rows_c.append(cacc)
+        rows_e.append(eacc)
+        rows_r.append(racc)
+    coef = jnp.stack(rows_c, axis=-2)
+    egen = jnp.stack(rows_e, axis=-2)
+    rad = jnp.stack(rows_r, axis=-1)
+    if slop:
+        rad = rad + slop * (jnp.sum(jnp.abs(coef), axis=-1)
+                            + jnp.sum(jnp.abs(egen), axis=-1) + rad)
+    return BPZ(coef=coef, egen=egen, rad=rad)
+
+
+def matmul_interval(C: jnp.ndarray, R: jnp.ndarray, b: BPZ,
+                    slop: float = 0.0) -> BPZ:
+    """(C + R*[-1,1]) @ b for an interval MATRIX (C, R [..., n, m]) and a
+    matrix PZ b [..., m, p, :] — same exactness argument as mul_interval."""
+    n, m = C.shape[-2], C.shape[-1]
+    p = b.coef.shape[-2]
+
+    Tb = (jnp.sum(jnp.abs(b.coef), axis=-1) + jnp.sum(jnp.abs(b.egen), axis=-1)
+          + b.rad)                                          # [..., m, p]
+
+    def rowcol(x, M, i, k):
+        acc = M[..., i, 0, None] * x[..., 0, k, :]
+        for j in range(1, m):
+            acc = acc + M[..., i, j, None] * x[..., j, k, :]
+        return acc
+
+    rows_c, rows_e, rows_r = [], [], []
+    absC, absR = jnp.abs(C), jnp.abs(R)
+    for i in range(n):
+        cols_c, cols_e, cols_r = [], [], []
+        for k in range(p):
+            cols_c.append(rowcol(b.coef, C, i, k))
+            cols_e.append(rowcol(b.egen, C, i, k))
+            acc = absC[..., i, 0] * b.rad[..., 0, k] + absR[..., i, 0] * Tb[..., 0, k]
+            for j in range(1, m):
+                acc = acc + (absC[..., i, j] * b.rad[..., j, k]
+                             + absR[..., i, j] * Tb[..., j, k])
+            cols_r.append(acc)
+        rows_c.append(jnp.stack(cols_c, axis=-2))
+        rows_e.append(jnp.stack(cols_e, axis=-2))
+        rows_r.append(jnp.stack(cols_r, axis=-1))
+    coef = jnp.stack(rows_c, axis=-3)
+    egen = jnp.stack(rows_e, axis=-3)
+    rad = jnp.stack(rows_r, axis=-2)
+    if slop:
+        rad = rad + slop * (jnp.sum(jnp.abs(coef), axis=-1)
+                            + jnp.sum(jnp.abs(egen), axis=-1) + rad)
+    return BPZ(coef=coef, egen=egen, rad=rad)
+
+
 def _matmul_pair(x, y):
     """Unrolled 3x3 (or small) matrix product keeping the huge trailing axis
     innermost: batched-tiny-matmul dot_generals make XLA tile on the size-3

@@ -33,12 +33,12 @@ from armour_tpu.utils.cache import enable_persistent_cache
 
 
 def timed(fn, *args, iters=5):
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    # utils.timing.bench: block_until_ready returns early on the tunneled
+    # TPU platform; the host float round-trip is the reliable sync
+    from armour_tpu.utils.timing import bench as _b
+
+    dt, _ = _b(fn, *args, iters=iters)
+    return dt
 
 
 def instances(cfg, batch):
@@ -51,22 +51,29 @@ def stage_split(cfg, robot, args, batch):
     basis = make_basis(robot.num_factors, cfg.max_poly_degree)
 
     def upto(stage):
+        # every prefix CONSUMES all outputs computed so far, or XLA
+        # dead-code-eliminates the earlier stages and deltas go negative
         def one(q0, qd0, qdd0, o):
+            acc = 0.0
             jrs = build_jrs(q0, qd0, qdd0, robot, cfg, basis)
+            acc += jrs.traj.q0.sum()
             if stage == "jrs":
-                return jrs.traj.q0.sum()
+                return acc
             links = forward_occupancy(jrs, robot, cfg, basis)
             frs = reduce_links(links, basis)
+            acc += frs.radius.sum()
             if stage == "fk":
-                return frs.radius.sum()
+                return acc
             tq = torque_frs(jrs, robot, cfg, basis)
+            acc += tq.torque_radius.sum()
             if stage == "rnea":
-                return tq.torque_radius.sum()
+                return acc
             hyp = build_hyperplanes(frs, o)
+            acc += hyp.delta.sum()
             if stage == "hyp":
-                return hyp.delta.sum()
+                return acc
             sc = screen_collision(hyp, o, frs, cfg.screen_k)
-            return sc.d.sum()
+            return acc + sc.d.sum()
 
         return jax.jit(lambda q0, qd0, qdd0, q_des, o:
                        jax.vmap(one)(q0, qd0, qdd0, o).sum())

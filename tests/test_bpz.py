@@ -183,3 +183,79 @@ def test_phi_dphi():
         km = np.asarray(k).copy(); km[j] -= eps
         fd = (np.asarray(BASIS.phi(jnp.asarray(kp))) - np.asarray(BASIS.phi(jnp.asarray(km)))) / (2 * eps)
         np.testing.assert_allclose(dphi[:, j], fd, atol=1e-6)
+
+
+def test_structured_operand_fast_paths_match_generic():
+    """mul_interval / matmul_interval / matmul_linear(+right) /
+    matvec_const_coef must reproduce the generic bilinear EXACTLY on
+    operands with the structure they assume (interval-only inertial params,
+    degree<=1 rotations, constant-coef link boxes)."""
+    import numpy as np
+
+    from armour_tpu.pz import bpz
+    from armour_tpu.pz.basis import error_layout, make_basis
+
+    basis = make_basis(7, 3)
+    B = basis.size
+    E = error_layout(7)["size"]
+    rng = np.random.default_rng(3)
+
+    def lin_mat(shape):
+        coef = np.zeros(shape + (B,))
+        coef[..., 0] = rng.normal(size=shape)
+        for li in basis.lin_idx:
+            coef[..., li] = 0.1 * rng.normal(size=shape)
+        return bpz.BPZ(coef=jnp.asarray(coef),
+                       egen=jnp.asarray(0.01 * rng.normal(size=shape + (E,))),
+                       rad=jnp.asarray(np.abs(0.01 * rng.normal(size=shape))))
+
+    def gen_pz(shape, scale=0.2):
+        return bpz.BPZ(coef=jnp.asarray(scale * rng.normal(size=shape + (B,))),
+                       egen=jnp.asarray(0.02 * rng.normal(size=shape + (E,))),
+                       rad=jnp.asarray(np.abs(0.02 * rng.normal(size=shape))))
+
+    def close(a, b):
+        np.testing.assert_allclose(np.asarray(a.coef), np.asarray(b.coef),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.egen), np.asarray(b.egen),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.rad), np.asarray(b.rad),
+                                   atol=1e-12)
+
+    a_lin = lin_mat((4, 3, 3))
+    b = gen_pz((4, 3, 2))
+    close(bpz.matmul_linear(a_lin, b, basis),
+          bpz.matmul(a_lin, b, basis))
+
+    a_gen = gen_pz((4, 3, 3))
+    close(bpz.matmul_linear_right(a_gen, _as_mat(a_lin), basis),
+          bpz.matmul(a_gen, _as_mat(a_lin), basis))
+
+    # interval-only operand (mass/inertia): coef at const + rad
+    c = rng.normal(size=(4, 1, 1))
+    r = np.abs(0.03 * rng.normal(size=(4, 1, 1)))
+    iv = bpz.from_interval(jnp.asarray(c), jnp.asarray(r), basis)
+    close(bpz.mul_interval(jnp.asarray(c), jnp.asarray(r), b),
+          bpz.mul(iv, b, basis))
+
+
+    # interval MATRIX operand (inertia): coef at const + rad
+    C = rng.normal(size=(4, 3, 3))
+    R = np.abs(0.02 * rng.normal(size=(4, 3, 3)))
+    ivm = bpz.from_interval(jnp.asarray(C), jnp.asarray(R), basis)
+    close(bpz.matmul_interval(jnp.asarray(C), jnp.asarray(R), b),
+          bpz.matmul(ivm, b, basis))
+
+    # constant-coef + egen vector (link box)
+    box = bpz.BPZ(
+        coef=jnp.asarray(np.zeros((4, 3, B))).at[..., 0].set(
+            jnp.asarray(rng.normal(size=(4, 3)))),
+        egen=jnp.asarray(0.05 * rng.normal(size=(4, 3, E))),
+        rad=jnp.asarray(np.abs(0.01 * rng.normal(size=(4, 3)))),
+    )
+    close(bpz.matvec_const_coef(a_gen, box),
+          bpz.matvec(a_gen, box, basis))
+
+
+def _as_mat(p):
+    return p
