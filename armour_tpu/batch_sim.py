@@ -70,6 +70,7 @@ def run_trials_batched(
     hlp_lookahead: float = 0.1,
     stall_window: int = 25,
     stall_progress: float = 0.05,
+    rescue_solver: bool = True,
 ) -> List[TrialSummary]:
     """Run every world's closed-loop trial in lockstep (batched run_trial).
 
@@ -88,7 +89,16 @@ def run_trials_batched(
     (hlp.ConfigRRTStarHLP) grown from its CURRENT configuration; a world
     that stalls again regrows with a fresh seed.  The reference has no such
     recovery (blocked straight-line worlds land in its 'stuck' bucket);
-    this is a capability win the stuck<=15 acceptance target asks for."""
+    this is a capability win the stuck<=15 acceptance target asks for.
+
+    rescue_solver: when the FAST default solver declares a plan infeasible,
+    re-solve that iteration with a strong profile (full iteration budget +
+    deep screening) before accepting the braking fallback — the reference's
+    Ipopt spends its whole wall-clock budget exactly on such hard instances
+    (armour_main.cu:227-229); the fast profile alone loses goals in
+    40-obstacle clutter (measured 77 -> 68 on the self-generated suite).
+    Rescue batches are rare (~5% of iterations), so throughput stays at the
+    fast profile's level."""
     W = len(worlds)
     F = robot.num_factors
     dt = cfg.dtype
@@ -107,7 +117,12 @@ def run_trials_batched(
                                       seed=seed + i)
                 for i, w in enumerate(worlds)]
 
+    from .planner import strong_config
+
     planner = make_batch_planner(robot, cfg)
+    rescue = None
+    if rescue_solver:
+        rescue = make_batch_planner(robot, strong_config(cfg))
     rollout1 = make_rollout(robot, cfg)
     oracles1 = make_oracles(robot, cfg)
     rollout = jax.jit(jax.vmap(rollout1))
@@ -175,6 +190,8 @@ def run_trials_batched(
     # compile-share)
     q0w, qd0w, qdd0w, wpw = plan_inputs(ref)
     jax.block_until_ready(planner(q0w, qd0w, qdd0w, wpw, obs))
+    if rescue is not None:
+        jax.block_until_ready(rescue(q0w, qd0w, qdd0w, wpw, obs))
 
     wp_cache = np.asarray(goals_np, dtype=np.float64).copy()
 
@@ -205,12 +222,21 @@ def run_trials_batched(
             waypoints = jnp.asarray(wp_np, dt)
         t0 = time.perf_counter()
         res = planner(q0, qd0, qdd0, waypoints, obs)
-        k = np.asarray(res.k)
-        plan_times.append(time.perf_counter() - t0)
-
+        k = np.array(res.k)
+        viol = np.array(res.viol)
         feas = np.all(np.isfinite(k), axis=-1)
+        if rescue is not None and np.any(~feas & active):
+            # strong-profile retry for the infeasible rows only
+            res2 = rescue(q0, qd0, qdd0, waypoints, obs)
+            k2 = np.asarray(res2.k)
+            feas2 = np.all(np.isfinite(k2), axis=-1)
+            take = (~feas) & feas2
+            k[take] = k2[take]
+            viol[~feas] = np.asarray(res2.viol)[~feas]
+            feas = feas | feas2
+        plan_times.append(time.perf_counter() - t0)
         infeasible += (~feas) & active
-        grp = np.argmax(np.asarray(res.viol), axis=-1)        # [W]
+        grp = np.argmax(viol, axis=-1)                        # [W]
         rows = np.where((~feas) & active)[0]
         blocked[rows, grp[rows]] += 1
         q0_np = np.asarray(q0, np.float64)

@@ -87,7 +87,10 @@ def run_world_suite(world_paths: Sequence[str], robot: RobotModel,
                 d.pop("bucket", None)
                 done[name] = SuiteResult(world=name, summary=TrialSummary(**d))
 
+    from .planner import make_rescue_planner
+
     step = make_planner(robot, cfg)
+    rescue = make_rescue_planner(robot, cfg)
     rollout = make_rollout(robot, cfg)
     oracles = make_oracles(robot, cfg)
     results = []
@@ -113,7 +116,8 @@ def run_world_suite(world_paths: Sequence[str], robot: RobotModel,
         t0 = time.perf_counter()
         summary = run_trial(world, robot, cfg, step, obs, tp,
                             max_iterations=max_iterations,
-                            rollout=rollout, oracles=oracles, hlp=hlp)
+                            rollout=rollout, oracles=oracles, hlp=hlp,
+                            rescue_step=rescue)
         res = SuiteResult(world=os.path.basename(path), summary=summary)
         results.append(res)
         if verbose:

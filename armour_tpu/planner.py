@@ -86,6 +86,25 @@ def make_batch_planner(robot: RobotModel, cfg: ArmourConfig):
     return step
 
 
+def strong_config(cfg: ArmourConfig) -> ArmourConfig:
+    """The rescue/acceptance solver profile: full iteration budget + deep
+    screening (see batch_sim.run_trials_batched rescue_solver)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, solver_outer_iters=max(cfg.solver_outer_iters, 8),
+        solver_inner_iters=max(cfg.solver_inner_iters, 6),
+        solver_cull_after=2, solver_keep_seeds=2,
+        solver_alphas=(1.0, 0.25, 0.0625, 0.015625),
+        screen_k=max(cfg.screen_k, 4096))
+
+
+def make_rescue_planner(robot: RobotModel, cfg: ArmourConfig):
+    """Single-world planner at the strong profile, for infeasible-plan
+    retries in the serial closed loop."""
+    return make_planner(robot, strong_config(cfg))
+
+
 def make_realtime_planner(robot: RobotModel, cfg: ArmourConfig,
                           example_args=None, time_buffer: float = 0.05,
                           min_outer: int = 2, verbose: bool = False):

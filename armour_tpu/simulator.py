@@ -304,6 +304,7 @@ def run_trial(
     trace_stride: int = 10,
     stall_window: int = 25,
     stall_progress: float = 0.05,
+    rescue_step=None,
 ) -> TrialSummary:
     """One closed-loop trial on one world (kinova_run_100_worlds.m per-world
     loop).  planner_step = make_planner(robot, cfg) output.  Pass precompiled
@@ -374,6 +375,11 @@ def run_trial(
         t0 = _time.perf_counter()
         res = planner_step(q0, qd0, qdd0, jnp.asarray(waypoint, dt_ref), obs)
         k = np.asarray(res.k)
+        if rescue_step is not None and not np.all(np.isfinite(k)):
+            # strong-profile retry before accepting the braking fallback
+            # (see batch_sim.run_trials_batched rescue_solver)
+            res = rescue_step(q0, qd0, qdd0, jnp.asarray(waypoint, dt_ref), obs)
+            k = np.asarray(res.k)
         plan_times.append(_time.perf_counter() - t0)
 
         if np.all(np.isfinite(k)):

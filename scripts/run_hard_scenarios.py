@@ -13,7 +13,7 @@ from armour_tpu.collision import pad_obstacles
 from armour_tpu.config import ArmourConfig
 from armour_tpu.experiments import SuiteResult, save_results, summarize
 from armour_tpu.models.kinova import kinova_gen3
-from armour_tpu.planner import make_planner
+from armour_tpu.planner import make_planner, make_rescue_planner
 from armour_tpu.scenarios import all_hard_scenarios
 from armour_tpu.simulator import run_trial, sample_true_params
 from armour_tpu.utils.cache import enable_persistent_cache
@@ -25,6 +25,7 @@ def main():
     robot = kinova_gen3()
     cfg = ArmourConfig(dtype=jnp.float32)
     step = make_planner(robot, cfg)
+    rescue = make_rescue_planner(robot, cfg)
     rng = np.random.default_rng(0)
     results = []
     from armour_tpu.hlp import EndEffectorRRTStarHLP
@@ -37,7 +38,7 @@ def main():
         # (kinova_run_hard_scenarios.m:146, lookahead_distance=0.1)
         hlp = EndEffectorRRTStarHLP(world, robot, lookahead=0.1, seed=i)
         summary = run_trial(world, robot, cfg, step, obs, tp,
-                            max_iterations=500, hlp=hlp)
+                            max_iterations=500, hlp=hlp, rescue_step=rescue)
         res = SuiteResult(world=f"hard_{i}", summary=summary)
         results.append(res)
         print(f"hard scenario {i}: {res.bucket()} iters={summary.iterations}", flush=True)
