@@ -154,9 +154,11 @@ def plan_from_armour_in(in_path: str, out_dir: str, robot, cfg,
 
     # armour_constraints.out (armour_main.cu:366-371): every constraint value
     # at the returned k, one per line.  Reference ordering (NLPclass.cu:46-54):
-    # control input u(j,t) [T*F rows], collision value per (t, link, obstacle)
-    # [T*J*O rows], then the 4*F state-extremum rows (q_min, q_max, qd_min,
-    # qd_max per factor).
+    # control input, time-major (index t*F + j, NLPclass.cu:308) [T*F rows];
+    # collision value LINK-MAJOR (index (link*T + t)*O + o — the per-link
+    # memcpy at CollisionChecking.cu:128 and the finalize check at
+    # NLPclass.cu:475) [J*T*O rows]; then the 4*F state-extremum rows
+    # (q_min, q_max, qd_min, qd_max per factor).
     from .collision import (build_hyperplanes, collision_constraints,
                             eval_link_polys)
     from .nlp import joint_position_extrema, joint_velocity_extrema
@@ -184,12 +186,16 @@ def plan_from_armour_in(in_path: str, out_dir: str, robot, cfg,
         for row in np.asarray(u_v):
             for x in row:
                 f.write(f"{x:.6g}\n")
-        gc = np.asarray(g_col_v)[:, :, :n_obs]       # drop padded obstacles
-        for x in gc.reshape(-1):
+        gc = np.asarray(g_col_v)[:, :, :n_obs]       # [T, J, O], drop padding
+        # link-major file order: (link*T + t)*O + o (CollisionChecking.cu:128)
+        for x in np.transpose(gc, (1, 0, 2)).reshape(-1):
             f.write(f"{x:.6g}\n")
         for x in np.asarray(state_v):
             f.write(f"{x:.6g}\n")
 
     return {"k": k, "feasible": bool(np.all(np.isfinite(k))), "millis": millis,
             "link_centers": centers, "link_generators": shape_gens,
-            "link_radius": radius}
+            "link_radius": radius,
+            "constraint_torque": np.asarray(u_v),        # [T, F]
+            "constraint_collision": gc,                  # [T, J, O]
+            "constraint_state": np.asarray(state_v)}     # [4*F]

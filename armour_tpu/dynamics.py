@@ -204,10 +204,14 @@ def rnea_pz_sets(jrs: JRS, robot: RobotModel, cfg: ArmourConfig, basis: KBasis,
             )
         # mass/inertia are pure interval PZs (from_interval, Dynamics.cu:30-41)
         # -> exact interval-operand products, no pair-table expansion.
-        # m [P] -> [P, 1, 1]; I [P, 3, 3] -> [P, 1, 3, 3]
-        F_i = bpz.mul_interval(m_i.coef[:, None, None, 0], m_i.rad[:, None, None],
+        # interval_operand folds any egen/non-constant coef into the radius,
+        # so a future non-interval operand stays sound instead of silently
+        # dropping uncertainty.  m [P] -> [P, 1, 1]; I [P, 3, 3] -> [P, 1, 3, 3]
+        m_c, m_r = bpz.interval_operand(m_i)
+        F_i = bpz.mul_interval(m_c[:, None, None], m_r[:, None, None],
                                f_arg, slop)
-        Iw = bpz.matmul_interval(I_i.coef[:, None, ..., 0], I_i.rad[:, None],
+        I_c, I_r = bpz.interval_operand(I_i)
+        Iw = bpz.matmul_interval(I_c[:, None], I_r[:, None],
                                  _col_stack([wdot, w]), slop)
         N_i = bpz.add(_col(Iw, 0), bpz.cross(w_aux, _col(Iw, 1), basis, slop))
         return (w, w_aux, wdot, lin_acc), (F_i, N_i)

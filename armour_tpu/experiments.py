@@ -143,9 +143,11 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
 
     worlds = [load_world_csv(p) for p in world_paths]
     t0 = time.perf_counter()
+    batch_stats: dict = {}
     summaries = run_trials_batched(
         worlds, robot, cfg, max_iterations=max_iterations,
         true_param_scale=true_param_scale, seed=seed, verbose=verbose,
+        stats=batch_stats,
     )
     results = [
         SuiteResult(world=os.path.basename(p), summary=s)
@@ -153,9 +155,11 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
     ]
     if verbose:
         print(f"batched suite: {len(worlds)} worlds in "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+              f"{time.perf_counter() - t0:.1f}s  rescue_rate="
+              f"{batch_stats.get('rescue_rate', 0.0):.3f} wall_share="
+              f"{batch_stats.get('rescue_wall_share', 0.0):.3f}", flush=True)
     if results_path:
-        save_results(results, results_path)
+        save_results(results, results_path, batch_stats=batch_stats)
     return results
 
 
@@ -262,6 +266,8 @@ def summarize(results: Sequence[SuiteResult]) -> dict:
     out["stuck_blocked_by"] = blocked_total
     if stuck_gd:
         out["stuck_goal_distance_min_mean"] = float(np.mean(stuck_gd))
+    out["rescued_plans_total"] = int(
+        sum(getattr(r.summary, "rescued_plans", 0) for r in results))
     return out
 
 
@@ -287,7 +293,8 @@ def _provenance() -> dict:
     }
 
 
-def save_results(results: Sequence[SuiteResult], path: str) -> None:
+def save_results(results: Sequence[SuiteResult], path: str,
+                 batch_stats: Optional[dict] = None) -> None:
     payload = []
     for r in results:
         d = dataclasses.asdict(r.summary)
@@ -295,6 +302,9 @@ def save_results(results: Sequence[SuiteResult], path: str) -> None:
         d["bucket"] = r.bucket()
         d["planning_times"] = [float(x) for x in d["planning_times"]]
         payload.append(d)
+    doc = {"results": payload, "summary": summarize(results),
+           "provenance": _provenance()}
+    if batch_stats:
+        doc["batch_stats"] = batch_stats
     with open(path, "w") as f:
-        json.dump({"results": payload, "summary": summarize(results),
-                   "provenance": _provenance()}, f, indent=1)
+        json.dump(doc, f, indent=1)

@@ -172,6 +172,20 @@ def mul(a: BPZ, b: BPZ, basis: KBasis, slop: float = 0.0) -> BPZ:
     return bilinear(a, b, lambda x, y: x * y, lambda x, y: x * y, basis, slop)
 
 
+def interval_operand(p: BPZ):
+    """Sound (center, radius) interval enclosure of a PZ, for use as the
+    interval operand of mul_interval/matmul_interval: every non-constant
+    k-coefficient and every error generator is folded into the radius.  For
+    the inertial-parameter PZs built by from_interval (coef only at the
+    constant monomial, egen = 0 — Dynamics.cu:30-41) this is exact and the
+    folds are sums of zeros; for any other operand it degrades gracefully to
+    the interval hull instead of silently dropping uncertainty (the hazard
+    of decomposing the operand by hand with p.coef[..., 0] / p.rad)."""
+    rad = (p.rad + jnp.sum(jnp.abs(p.egen), axis=-1)
+           + jnp.sum(jnp.abs(p.coef[..., 1:]), axis=-1))
+    return p.coef[..., 0], rad
+
+
 def mul_interval(c: jnp.ndarray, r: jnp.ndarray, b: BPZ,
                  slop: float = 0.0) -> BPZ:
     """(c + r*[-1,1]) * b elementwise — the EXACT bilinear result when the
@@ -179,7 +193,12 @@ def mul_interval(c: jnp.ndarray, r: jnp.ndarray, b: BPZ,
     no error generators), without the 680-entry pair-table expansion.  The
     inertial-parameter PZs (mass/inertia/COM, Dynamics.cu:30-41) have
     exactly this structure, and their products dominate the PZ-RNEA cost.
-    c, r broadcast against b's element shape."""
+    c, r broadcast against b's element shape.
+
+    CONTRACT: (c, r) must ENCLOSE the left operand.  Build them with
+    interval_operand(p), which is exact for from_interval PZs and a sound
+    interval hull for everything else — do not hand-decompose a BPZ here
+    (p.coef[..., 0]/p.rad drops egen and non-constant coefs unsoundly)."""
     cc = c[..., None]
     coef = cc * b.coef
     egen = cc * b.egen

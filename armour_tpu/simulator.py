@@ -284,6 +284,8 @@ class TrialSummary:
     blocked_counts: dict = dataclasses.field(default_factory=dict)
     goal_distance_final: float = float("nan")
     goal_distance_min: float = float("nan")
+    # plans this trial recovered via the strong-profile rescue solver
+    rescued_plans: int = 0
 
 
 def run_trial(
@@ -337,6 +339,7 @@ def run_trial(
     }
     infeasible = 0
     stop_count = 0
+    rescued = 0
     plan_times = []
     goal = False
     it = 0
@@ -380,6 +383,8 @@ def run_trial(
             # (see batch_sim.run_trials_batched rescue_solver)
             res = rescue_step(q0, qd0, qdd0, jnp.asarray(waypoint, dt_ref), obs)
             k = np.asarray(res.k)
+            if np.all(np.isfinite(k)):
+                rescued += 1
         plan_times.append(_time.perf_counter() - t0)
 
         if np.all(np.isfinite(k)):
@@ -400,7 +405,11 @@ def run_trial(
             stall_iters = 0
         else:
             stall_iters += 1
-        if (stall_iters >= stall_window
+        # cap regrows at 6 like batch_sim's may_regrow: a guidance-proof
+        # world would otherwise rebuild the RRT* every stall_window
+        # iterations for up to max_iterations, paying host seconds each time
+        if fallback_count < 6 and (
+                stall_iters >= stall_window
                 or (stop_count == 2 and fallback_count == 0)):
             from .hlp import ConfigRRTStarHLP
 
@@ -440,6 +449,7 @@ def run_trial(
         blocked_counts=blocked_counts,
         goal_distance_final=gd,
         goal_distance_min=(gd_min if np.isfinite(gd_min) else float("nan")),
+        rescued_plans=rescued,
         **flags,
     )
     if trace is not None:

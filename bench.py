@@ -81,14 +81,28 @@ def main():
     dt1, _ = _bench(lambda: step1(*args1), iters=10)
     import time as _time
 
+    from armour_tpu.utils.timing import sync as _sync
+
+    # per-instance latency distribution.  Each sample is timed with the same
+    # sync() primitive as _bench (true host round-trip) — NOT
+    # block_until_ready, which this platform's tunnel returns from before
+    # execution completes (see utils/timing.py; the round-4 p99 measured
+    # with block_until_ready came out BELOW the reliable batch-1 mean).
     lats = []
-    for i in range(min(48, batch)):
-        ai = jax.tree.map(lambda x: x[i], args)
+    instances = [jax.tree.map(lambda x: x[i], args)
+                 for i in range(min(48, batch))]
+    _sync(step1(*instances[0]))          # warm any per-shape work
+    for ai in instances:
         t0 = _time.perf_counter()
-        jax.block_until_ready(step1(*ai))
+        _sync(step1(*ai))
         lats.append(_time.perf_counter() - t0)
     lat_p99 = float(np.percentile(lats, 99))
     lat_p50 = float(np.percentile(lats, 50))
+    # internal consistency (round-4 weak #3): the p99 of single-sample
+    # latencies must sit at or above the best-of-10 batch-1 time measured
+    # with the same primitive; report the check so an incoherent timing
+    # path is visible in the artifact
+    lat_consistent = bool(lat_p99 >= dt1 * 0.99)
 
     # --- reachset vs solver split (jit-prefix timing at the same batch) ---
     from armour_tpu.collision import build_hyperplanes, screen_collision
@@ -131,6 +145,7 @@ def main():
         "latency_batch1_ms": round(dt1 * 1e3, 2),
         "latency_p50_ms": round(lat_p50 * 1e3, 2),
         "latency_p99_ms": round(lat_p99 * 1e3, 2),
+        "latency_consistent": lat_consistent,
         "realtime_ok": bool(lat_p99 < 0.5),
         "reachset_ms": round(dt_rs * 1e3, 2),
         "solver_ms": round((dt - dt_rs) * 1e3, 2),

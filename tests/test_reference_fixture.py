@@ -116,10 +116,14 @@ def test_plan_from_armour_in_writes_reference_dumps(tmp_path):
     FRS dumps in the reference's exact layouts (armour_main.cu:305-372)."""
     cfg = ArmourConfig(num_time_steps=8, dtype=jnp.float64, max_obstacles=4,
                        screen_k=256, solver_outer_iters=3, solver_inner_iters=3)
+    # >=2 obstacles so the file ORDER of the collision block is pinned, not
+    # just its values (the round-4 single-obstacle test missed a time-major/
+    # link-major transposition)
     data = armour_io.ArmourIn(
         q0=Q0, qd0=np.zeros(7), qdd0=np.zeros(7), q_des=Q0 + 0.02,
-        centers=np.array([[2.5, 2.5, 2.5]]),
-        generators=np.diag([0.05, 0.05, 0.05])[None],
+        centers=np.array([[2.5, 2.5, 2.5], [-2.0, 2.0, 1.5]]),
+        generators=np.stack([np.diag([0.05, 0.05, 0.05]),
+                             np.diag([0.08, 0.04, 0.06])]),
     )
     in_path = str(tmp_path / "armour.in")
     armour_io.write_armour_in(in_path, data)
@@ -137,11 +141,25 @@ def test_plan_from_armour_in_writes_reference_dumps(tmp_path):
     assert tr.shape == (8, 7)
 
     # 4th dump (armour_main.cu:366-371): one constraint value per line —
-    # T*F torque + T*J*n_obs collision + 4*F state-extremum rows
+    # T*F torque + J*T*n_obs collision + 4*F state-extremum rows
+    n_obs = 2
     g = np.loadtxt(str(tmp_path / "armour_constraints.out"))
-    assert g.shape == (8 * 7 + 8 * ROBOT.num_joints * 1 + 4 * 7,)
+    assert g.shape == (8 * 7 + ROBOT.num_joints * 8 * n_obs + 4 * 7,)
+    # pin the exact reference POSITIONS of every block, not just values:
+    # torque time-major t*F+j (NLPclass.cu:308), collision link-major
+    # (link*T + t)*O + o (CollisionChecking.cu:128, NLPclass.cu:475),
+    # state rows last
+    n_t = 8 * 7
+    np.testing.assert_allclose(g[:n_t], out["constraint_torque"].reshape(-1),
+                               rtol=0, atol=1e-5)
+    n_c = ROBOT.num_joints * 8 * n_obs
+    np.testing.assert_allclose(
+        g[n_t:n_t + n_c],
+        np.transpose(out["constraint_collision"], (1, 0, 2)).reshape(-1),
+        rtol=0, atol=1e-5)
+    np.testing.assert_allclose(g[n_t + n_c:], out["constraint_state"],
+                               rtol=0, atol=1e-5)
     # the accepted plan's collision rows are all safe (<= 0) and torque rows
     # within limits
-    n_t = 8 * 7
-    assert np.all(g[n_t:n_t + 8 * ROBOT.num_joints] <= 1e-4)
+    assert np.all(g[n_t:n_t + n_c] <= 1e-4)
     assert np.all(np.abs(g[:n_t]) <= ROBOT.torque_limits.max())
