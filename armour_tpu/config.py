@@ -72,6 +72,12 @@ class ArmourConfig:
     t_plan: float = 0.5            # cost evaluated at t_plan; replan period
     num_time_steps: int = 128      # must be even (qd bounding trick)
     k_range: Tuple[float, ...] = tuple([math.pi / 48] * 7)
+    # trajectory family: 'bernstein' (degree-5 Bezier, ARMOUR) or 'armtd'
+    # (constant-acceleration comparison baseline, armtd_main.cu /
+    # uarmtd_planner.m:234-331).  Selects the planner pipeline AND the
+    # closed-loop reference evaluation, so the whole suite stack runs either
+    # family from one switch.
+    traj_family: str = "bernstein"
 
     # --- PZ arithmetic ---
     simplify_threshold: float = 5e-4   # Parameters.h:10

@@ -31,7 +31,14 @@ from .robot import RobotModel
 
 def plan_step(q0, qd0, qdd0, q_des, obs: ObstacleSet, robot: RobotModel,
               cfg: ArmourConfig, basis, k0=None) -> SolveResult:
-    """One full planning iteration (armour_main.cu main() equivalent)."""
+    """One full planning iteration (armour_main.cu main() equivalent).
+    cfg.traj_family='armtd' routes to the constant-acceleration comparison
+    pipeline (armtd_main.cu equivalent) — same downstream FK/RNEA/collision/
+    NLP, different trajectory family."""
+    if cfg.traj_family == "armtd":
+        from .armtd import plan_step_armtd
+
+        return plan_step_armtd(q0, qd0, q_des, obs, robot, cfg, basis, k0=k0)
     jrs = build_jrs(q0, qd0, qdd0, robot, cfg, basis)
     links = forward_occupancy(jrs, robot, cfg, basis)
     frs = reduce_links(links, basis)

@@ -60,7 +60,15 @@ def initial_plan(q0, dtype=jnp.float32) -> PlanRef:
 def advance_plan(ref: PlanRef, k_new, q0, qd0, qdd0, cfg: ArmourConfig) -> PlanRef:
     """Accept a new plan anchored at (q0, qd0, qdd0) with parameter k_new in
     [-1,1]^F (NaN if infeasible -> braking)."""
-    k_act = jnp.asarray(k_new) * jnp.asarray(cfg.k_range, ref.q0.dtype)
+    if cfg.traj_family == "armtd":
+        # velocity-adaptive parameter range (create_jrs_online.m:77) — must
+        # match build_jrs_armtd's scaling at the same anchor velocity
+        from .armtd import g_k_adaptive
+
+        scale = g_k_adaptive(jnp.asarray(qd0, ref.q0.dtype))
+    else:
+        scale = jnp.asarray(cfg.k_range, ref.q0.dtype)
+    k_act = jnp.asarray(k_new) * scale
     return PlanRef(
         q0=jnp.asarray(q0, ref.q0.dtype),
         qd0=jnp.asarray(qd0, ref.q0.dtype),
@@ -84,17 +92,43 @@ def _bezier_state(q0, qd0, qdd0, k_act, t, cfg: ArmourConfig):
     return q, qd, qdd
 
 
+def _armtd_state(q0, qd0, qdd0, k_act, t, cfg: ArmourConfig):
+    """Constant-acceleration reference (armtd Trajectory.h:6-16): accelerate
+    at k for t <= t_plan, then brake linearly to rest at `duration`.  Past
+    the horizon the state holds at the final rest position (qd(ts) = 0 by
+    construction).  qdd0 is unused — the family's acceleration IS k."""
+    del qdd0
+    tp, ts = cfg.t_plan, cfg.duration
+    t = jnp.clip(t, 0.0, ts)
+    qd_pk = qd0 + k_act * tp
+    brk = -qd_pk / (ts - tp)
+    q1 = q0 + qd0 * t + 0.5 * k_act * t * t
+    qd1 = qd0 + k_act * t
+    tau = t - tp
+    q_pk = q0 + qd0 * tp + 0.5 * k_act * tp * tp
+    q2 = q_pk + qd_pk * tau + 0.5 * brk * tau * tau
+    qd2 = qd_pk + brk * tau
+    ph2 = t > tp
+    q = jnp.where(ph2, q2, q1)
+    qd = jnp.where(ph2, qd2, qd1)
+    qdd = jnp.where(ph2, brk, k_act)
+    return q, qd, qdd
+
+
 def desired_state(ref: PlanRef, t, cfg: ArmourConfig):
     """(q_des, qd_des, qdd_des) at time t since the active plan's anchor
-    (uarmtd_planner.m:889-925 'bernstein' branch)."""
+    (uarmtd_planner.m:889-925 'bernstein' branch; :871-886 'orig' branch for
+    the armtd family — both brake by replaying the previous plan shifted
+    forward by t_plan)."""
+    state = _armtd_state if cfg.traj_family == "armtd" else _bezier_state
     ok = jnp.all(jnp.isfinite(ref.k_act))
     k_act = jnp.where(ok, ref.k_act, 0.0)
-    q_n, qd_n, qdd_n = _bezier_state(ref.q0, ref.qd0, ref.qdd0, k_act, t, cfg)
+    q_n, qd_n, qdd_n = state(ref.q0, ref.qd0, ref.qdd0, k_act, t, cfg)
 
     # braking: replay previous plan shifted by t_plan
     prev_ok = jnp.all(jnp.isfinite(ref.prev_k_act))
     pk = jnp.where(prev_ok, ref.prev_k_act, 0.0)
-    q_b, qd_b, qdd_b = _bezier_state(
+    q_b, qd_b, qdd_b = state(
         ref.prev_q0, ref.prev_qd0, ref.prev_qdd0, pk, t + cfg.t_plan, cfg
     )
     moving = jnp.linalg.norm(ref.qd0) > 1e-8

@@ -75,3 +75,28 @@ def test_armtd_plan_feasible():
     res = step(q0, qd0, q0 + 0.05, obs)
     assert bool(res.feasible)
     assert np.all(np.isfinite(np.asarray(res.k)))
+
+
+def test_armtd_closed_loop_reaches_goal():
+    """Full closed-loop trial with the constant-acceleration family: the
+    cfg.traj_family switch drives planner + reference tracking + braking
+    (armtd_main.cu + uarmtd_planner.m 'orig' branch semantics)."""
+    import numpy as np
+
+    from armour_tpu.planner import make_planner
+    from armour_tpu.simulator import run_trial, sample_true_params
+    from armour_tpu.worlds import World
+
+    cfg = ArmourConfig(num_time_steps=16, dtype=jnp.float64, max_obstacles=4,
+                       screen_k=256, traj_family="armtd")
+    start = np.zeros(7)
+    w = World(start=start, goal=start + 0.35,
+              obstacle_centers=np.array([[2.5, 2.5, 2.5]]),
+              obstacle_generators=np.diag([0.05] * 3)[None])
+    obs = pad_obstacles(w.obstacle_centers, w.obstacle_generators,
+                        cfg.max_obstacles, cfg.dtype)
+    tp = sample_true_params(ROBOT, np.random.default_rng(0), scale=1.0)
+    s = run_trial(w, ROBOT, cfg, make_planner(ROBOT, cfg), obs, tp,
+                  max_iterations=40)
+    assert s.goal_reached and not s.collision and not s.torque_exceeded
+    assert not s.ultimate_bound_exceeded and not s.joint_limit_exceeded
