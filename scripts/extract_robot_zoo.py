@@ -59,10 +59,20 @@ KINOVA_ARMATURE = [8.02999999999999936, 11.99620246153036440, 9.0025427861751516
 
 def main():
     import io
+
+    from armour_tpu.models.mesh import link_boxes_from_urdf
+
     out = {}
     for name, path in ZOO.items():
         try:
-            robot = load_urdf(io.StringIO(_read(path)), name=name)
+            # mesh-derived per-link AABBs (create_pz_bounding_boxes.m,
+            # uarmtd_agent.m:60); links without resolvable geometry keep
+            # load_urdf's conservative joint-span fallback
+            boxes = link_boxes_from_urdf(io.StringIO(_read(path)),
+                                         mesh_dir=str(path.parent))
+            robot = load_urdf(io.StringIO(_read(path)), name=name,
+                              link_boxes=boxes)
+            n_mesh = sum(1 for _ in boxes)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             continue
@@ -79,9 +89,10 @@ def main():
         ):
             v = getattr(robot, field)
             d[field] = v.tolist() if isinstance(v, np.ndarray) else v
+        d["mesh_boxes"] = n_mesh
         out[name] = d
         print(f"ok   {name}: J={robot.num_joints} F={robot.num_factors} "
-              f"mass={robot.mass.sum():.2f}kg")
+              f"mass={robot.mass.sum():.2f}kg mesh_boxes={n_mesh}")
     dst = Path(__file__).resolve().parents[1] / "armour_tpu" / "models" / "zoo_data.json"
     dst.write_text(json.dumps(out, indent=1))
     print(f"wrote {dst} ({len(out)} robots)")

@@ -226,3 +226,82 @@ def test_zoo_plan_step_runs(name):
     assert bool(res.feasible), f"{name}: expected feasible plan"
     assert np.all(np.isfinite(np.asarray(res.k)))
     assert np.all(np.abs(np.asarray(res.k)) <= 1.0 + 1e-9)
+
+
+def _ref_urdf_text(name):
+    """URDF text of a zoo robot from the reference tree, with the same
+    fixups the extraction script applies."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "_xzoo", Path(__file__).resolve().parents[1] / "scripts" /
+        "extract_robot_zoo.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._read(mod.ZOO[name]), str(mod.ZOO[name].parent)
+
+
+def _chain_link_names(urdf_text):
+    """Child-link name per chain joint, in the same order load_urdf builds
+    the chain (so zoo_data boxes can be matched to mesh links by index)."""
+    import io
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(io.StringIO(urdf_text)).getroot()
+    links = {l.get("name"): l for l in root.findall("link")}
+    joints = list(root.findall("joint"))
+    child_of = {j.find("child").get("link"): j for j in joints}
+    by_parent = {j.find("parent").get("link"): j for j in joints}
+    base = next(l for l in links if l not in child_of)
+    chain, cur = [], base
+    while cur in by_parent:
+        j = by_parent[cur]
+        cur = j.find("child").get("link")
+        chain.append(cur)
+
+    def has_inertia(lname):
+        inr = links[lname].find("inertial")
+        return inr is not None and inr.find("mass") is not None
+
+    while chain and child_of[chain[-1]].get("type") == "fixed" \
+            and not has_inertia(chain[-1]):
+        chain.pop()
+    return chain
+
+
+@pytest.mark.parametrize("name", ["fetch_arm", "kuka_iiwa", "panda", "ur5"])
+def test_zoo_mesh_boxes_contain_fk_meshes(name):
+    """VERDICT r4 #8 acceptance: the zoo robots' link boxes are mesh-derived
+    and, at random configurations, every (subsampled) mesh vertex pushed
+    through FK lies inside the oracle's world-frame OBB for its link
+    (create_pz_bounding_boxes.m parity, uarmtd_agent.m:60)."""
+    import io
+
+    from armour_tpu.models.mesh import link_point_clouds
+
+    text, mesh_dir = _ref_urdf_text(name)
+    clouds = link_point_clouds(io.StringIO(text), mesh_dir=mesh_dir)
+    chain = _chain_link_names(text)
+    r = zoo.load_zoo_robot(name)
+    assert len(chain) == r.num_joints
+    covered = [i for i, ln in enumerate(chain) if ln in clouds]
+    # the claimed improvement: (nearly) every chain link is mesh-derived now
+    assert len(covered) >= r.num_joints - 1, (name, chain, list(clouds))
+
+    rng = np.random.default_rng(13)
+    lo = np.maximum(r.position_limits_lb, -np.pi)
+    hi = np.minimum(r.position_limits_ub, np.pi)
+    for _ in range(2):
+        q = jnp.asarray(rng.uniform(lo, hi), jnp.float64)
+        R_w, p_w, centers = rnea_numeric.forward_kinematics(r, q)
+        R_w, p_w, centers = map(np.asarray, (R_w, p_w, centers))
+        for i in covered:
+            v = clouds[chain[i]]
+            if len(v) > 2000:
+                v = v[rng.choice(len(v), 2000, replace=False)]
+            vw = v @ R_w[i].T + p_w[i]
+            local = (vw - centers[i]) @ R_w[i]     # back to link axes
+            assert np.all(np.abs(local) <= r.link_generators[i] + 1e-6), (
+                name, i, chain[i],
+                np.max(np.abs(local) - r.link_generators[i]))
