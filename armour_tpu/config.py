@@ -252,7 +252,8 @@ def derive_ultimate_bound(robot, v_max: float = None, alpha: float = 10.0,
                           k_r: float = 5.0, n_samples: int = 512,
                           seed: int = 0, margin: float = 0.1,
                           qde_fraction: float = 0.4,
-                          use_cache: bool = True) -> UltimateBound:
+                          use_cache: bool = True,
+                          return_provenance: bool = False) -> UltimateBound:
     """Per-robot UltimateBound (the reference hardcodes the Kinova's
     M_min/M_max, KinovaWithoutGripperInfo.h:103-112;
     kinova_run_100_worlds.m:96).
@@ -276,7 +277,10 @@ def derive_ultimate_bound(robot, v_max: float = None, alpha: float = 10.0,
         cached = _ub_cache().get(_ub_cache_key(robot, alpha, k_r, n_samples,
                                                seed, margin, qde_fraction))
         if cached is not None:
-            return UltimateBound(**cached)
+            fields = {f.name for f in dataclasses.fields(UltimateBound)}
+            ub = UltimateBound(**{k: v for k, v in cached.items()
+                                  if k in fields})
+            return (ub, cached.get("provenance")) if return_provenance else ub
 
     m_min, m_max = mass_eigenvalue_bracket(robot, n_samples, seed, margin)
     # CERTIFIED lower bound (certify.py): armature Weyl bound + interval
@@ -291,15 +295,24 @@ def derive_ultimate_bound(robot, v_max: float = None, alpha: float = 10.0,
     # the runtime backstop, as before.
     from .certify import certified_m_min
 
+    m_sampled = m_min
     m_cert = certified_m_min(robot, max_boxes=600)
-    if m_cert >= 0.6 * m_min:
+    certified = m_cert >= 0.6 * m_min
+    if certified:
         m_min = m_cert
     if v_max is None:
         eps = min(math.sqrt(2.0 * 1e-2 / m_min),
                   qde_fraction * float(min(robot.speed_limits)) / 2.0)
         v_max = 0.5 * m_min * eps * eps
-    return UltimateBound(alpha=alpha, v_max=v_max, m_max=m_max, m_min=m_min,
-                         k_r=k_r)
+    ub = UltimateBound(alpha=alpha, v_max=v_max, m_max=m_max, m_min=m_min,
+                       k_r=k_r)
+    # provenance consumed by scripts/derive_ub_cache.py: whether the m_min
+    # that eps rests on is the CERTIFIED bound (certify.py) or the sampled
+    # heuristic (waived robots; see ub_cache.json waiver notes + the
+    # closed-loop ultimate_bound oracle backstop)
+    ub_provenance = {"certified": bool(certified), "m_cert": float(m_cert),
+                     "m_min_sampled": float(m_sampled)}
+    return (ub, ub_provenance) if return_provenance else ub
 
 
 def _ub_cache_key(robot, alpha, k_r, n_samples, seed, margin, qde_fraction):

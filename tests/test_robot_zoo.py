@@ -305,3 +305,42 @@ def test_zoo_mesh_boxes_contain_fk_meshes(name):
             assert np.all(np.abs(local) <= r.link_generators[i] + 1e-6), (
                 name, i, chain[i],
                 np.max(np.abs(local) - r.link_generators[i]))
+
+
+def test_certified_bound_is_used_for_suite_robots():
+    """VERDICT r4 #5 acceptance: every robot the committed suites run (the
+    Kinova flagship + its URDF/dumbbell variants) derives eps from the
+    CERTIFIED m_min, recorded as such in ub_cache.json; every other zoo
+    robot carries an explicit waiver with quantitative flatness evidence.
+
+    (The round-4 ask listed the kuka among the certified set; measured
+    reality: with zero URDF armature its true lambda_min(M) ~ 2.3e-3 is
+    wrist-dominated and flat, the interval B&B certifies 0, and no sound
+    positive bound is reachable without inventing motor constants — so the
+    kuka is in the waived set, with the sampled bound's low variance
+    demonstrated instead.)"""
+    import json
+    from pathlib import Path
+
+    from armour_tpu.config import derive_ultimate_bound
+
+    cache = json.loads((Path(zoo.__file__).parent / "ub_cache.json").read_text())
+    by_name = {k.split("|")[0]: v for k, v in cache.items()}
+
+    for name in ["kinova_gen3_7dof", "kinova_urdf", "kinova_dumbbell"]:
+        entry = by_name[name]
+        assert entry["provenance"]["certified"], name
+        assert entry["m_min"] >= 8.0, (name, entry["m_min"])
+
+    for name in ["fetch_arm", "kuka_iiwa", "panda", "ur5"]:
+        prov = by_name[name]["provenance"]
+        assert not prov["certified"], name
+        assert "waiver" in prov and "flatness" in prov, name
+        fl = prov["flatness"]
+        # flatness evidence: the 5th percentile of sampled lambda_min sits
+        # within 3x of the sampled minimum -> low sampling variance
+        assert fl["sampled_p05"] <= 3.0 * fl["sampled_min"], (name, fl)
+
+    # the derivation itself reports certified=True for the flagship
+    ub, prov = derive_ultimate_bound(kinova_gen3(), return_provenance=True)
+    assert prov["certified"] and ub.m_min >= 8.0
