@@ -303,22 +303,118 @@ def certified_m_min(robot: RobotModel, max_boxes: int = 4000,
     return a_min + certified_link_m_min(robot, max_boxes, target_gap)
 
 
-def certified_m_max(robot: RobotModel) -> float:
-    """Certified UPPER bound of lambda_max(M(q)): max armature + trace bound
-    on the link part.  trace(M_links)_ii = S_i' I^C_i S_i where I^C_i is the
-    composite inertia of the subtree about joint i; bounded by
-    sum_{j>=i} (m_j L^2 + tr(I_j)) with L the total chain length (every
-    downstream COM sits within L of the joint axis).  Loose but sound; the
-    sampled bracket remains the tightness report."""
+def _box_upper_bound(robot: RobotModel, qlo, qhi):
+    """Certified upper bound of lambda_max(M_links(q)) per box:
+    lambda_max(M_center) + maxrowsum(radius) (Weyl for symmetric interval
+    matrices; same symmetrisation argument as _box_lower_bound)."""
+    Mlo, Mhi = interval_link_mass_matrix(robot, qlo, qhi)
+    Mc = 0.5 * (Mlo + Mhi)
+    Mr = 0.5 * (Mhi - Mlo)
+    Mr = np.maximum(Mr, np.swapaxes(Mr, -1, -2)) + np.abs(
+        0.5 * (Mc - np.swapaxes(Mc, -1, -2)))
+    Mc = 0.5 * (Mc + np.swapaxes(Mc, -1, -2))
+    ev = np.linalg.eigvalsh(Mc)[..., -1]
+    rho = Mr.sum(axis=-1).max(axis=-1)
+    return ev + rho
+
+
+def certified_link_m_max(robot: RobotModel, max_boxes: int = 2000,
+                         target_gap: float = 0.2) -> float:
+    """Branch-and-bound certified UPPER bound of max_q lambda_max(M_links(q))
+    (the mirror of certified_link_m_min: max-heap on the per-box upper
+    bound, incumbent = best sampled lambda_max, prune boxes whose bound is
+    below it).  Sound on any budget: the return is the max over all leaf
+    bounds."""
     F = robot.num_factors
+    lo = np.where(np.asarray(robot.position_limits_lb) < -100, -np.pi,
+                  np.maximum(robot.position_limits_lb, -np.pi)).astype(float)
+    hi = np.where(np.asarray(robot.position_limits_ub) > 100, np.pi,
+                  np.minimum(robot.position_limits_ub, np.pi)).astype(float)
+    mid0 = 0.5 * (lo[0] + hi[0])
+    lo[0] = hi[0] = mid0
+
+    import jax
+    import jax.numpy as jnp
+
+    from .rnea_numeric import mass_matrix
+
+    mm = jax.jit(lambda qq: mass_matrix(robot, qq, include_armature=False))
+
+    def sample_lb(qlo, qhi):
+        qc = 0.5 * (qlo + qhi)
+        M = np.asarray(mm(jnp.asarray(qc, jnp.float64)))
+        return float(np.linalg.eigvalsh(M)[..., -1].max())
+
+    incumbent = sample_lb(lo, hi)
+    root = float(_box_upper_bound(robot, lo[None], hi[None])[0])
+    heap = [(-root, 0, lo, hi)]     # max-heap via negation
+    counter = 1
+    n_eval = 1
+    while heap and n_eval < max_boxes:
+        nb, _, qlo, qhi = heapq.heappop(heap)
+        bound = -nb
+        if bound <= incumbent + target_gap:
+            heapq.heappush(heap, (nb, -1, qlo, qhi))
+            break
+        d = int(np.argmax(qhi - qlo))
+        mid = 0.5 * (qlo[d] + qhi[d])
+        kids_lo, kids_hi = [], []
+        for half in (0, 1):
+            a, b = qlo.copy(), qhi.copy()
+            if half == 0:
+                b[d] = mid
+            else:
+                a[d] = mid
+            kids_lo.append(a)
+            kids_hi.append(b)
+        bounds = _box_upper_bound(robot, np.stack(kids_lo), np.stack(kids_hi))
+        for a, b, bb in zip(kids_lo, kids_hi, bounds):
+            incumbent = max(incumbent, sample_lb(a, b))
+            heapq.heappush(heap, (-float(bb), counter, a, b))
+            counter += 1
+        n_eval += 2
+    return max(-b for b, *_ in heap) if heap else root
+
+
+def certified_m_max(robot: RobotModel, use_bb: bool = False,
+                    max_boxes: int = 2000, target_gap: float = 0.2) -> float:
+    """Certified UPPER bound of lambda_max(M(q)): max armature (Weyl) +
+    refined trace bound on the link part.
+
+    trace(M_links) = sum_i S_i' I^C_i S_i with I^C_i the composite inertia
+    of the subtree about joint i's axis; each term is bounded by
+    sum_{j>=i} (m_j d_ij^2 + tr(I_j)) where d_ij = sum of DOWNSTREAM link
+    offsets from joint i to joint j plus |com_j| — a per-joint distance
+    (round-4 weak #7 used the full chain length L for every pair, 46.1 for
+    the Kinova; the refinement gives 16.9 vs the sampled bracket 15.0, a
+    13% certified-vs-sampled gap).  lambda_max <= trace since M_links is
+    PSD.
+
+    use_bb additionally intersects with the interval branch-and-bound upper
+    bound (certified_link_m_max) — measured NOT to converge usefully in the
+    7-joint box (the interval radius shrinks like box width while the gap
+    to the sampled max is ~2x), so it is off by default.
+
+    m_max feeds the robust-input torque buffer alpha*(M_max - M_min)*eps
+    (armour_main.cu:171-210); derive_ultimate_bound keeps the sampled
+    bracket when the certified bound would more than double the padding,
+    recording the split in ub_cache.json provenance."""
+    F = robot.num_factors
+    J = robot.num_joints
     a = np.asarray(robot.armature, float)[:F]
     trans = np.asarray(robot.trans, float)
     com = np.asarray(robot.com, float)
-    L = float(np.linalg.norm(trans, axis=-1).sum()
-              + np.linalg.norm(com, axis=-1).max())
     mass = np.asarray(robot.mass, float)
     tr_I = np.trace(np.asarray(robot.inertia, float), axis1=-2, axis2=-1)
-    diag_bound = np.array([
-        float((mass[i:] * L * L + tr_I[i:]).sum()) for i in range(F)
-    ])
-    return float(a.max() + diag_bound.sum())
+    seg = np.linalg.norm(trans, axis=-1)        # [J+1]
+    com_n = np.linalg.norm(com, axis=-1)        # [J]
+    diag_bound = np.zeros(F)
+    for i in range(F):
+        for j in range(i, J):
+            d_ij = float(seg[i + 1: j + 1].sum() + com_n[j])
+            diag_bound[i] += mass[j] * d_ij * d_ij + tr_I[j]
+    bound = float(a.max() + diag_bound.sum())
+    if use_bb:
+        bound = min(bound, float(a.max())
+                    + certified_link_m_max(robot, max_boxes, target_gap))
+    return bound

@@ -309,9 +309,16 @@ def derive_ultimate_bound(robot, v_max: float = None, alpha: float = 10.0,
     # provenance consumed by scripts/derive_ub_cache.py: whether the m_min
     # that eps rests on is the CERTIFIED bound (certify.py) or the sampled
     # heuristic (waived robots; see ub_cache.json waiver notes + the
-    # closed-loop ultimate_bound oracle backstop)
+    # closed-loop ultimate_bound oracle backstop).  m_max_cert is the
+    # certified UPPER bound crosscheck: the sampled bracket decides (as in
+    # the reference), but for the flagship the certified value sits within
+    # 13% of it, bounding how far the heuristic can be wrong.
+    from .certify import certified_m_max
+
     ub_provenance = {"certified": bool(certified), "m_cert": float(m_cert),
-                     "m_min_sampled": float(m_sampled)}
+                     "m_min_sampled": float(m_sampled),
+                     "m_max_cert": float(certified_m_max(robot)),
+                     "m_max_sampled": float(m_max)}
     return (ub, ub_provenance) if return_provenance else ub
 
 
