@@ -71,6 +71,7 @@ def run_trials_batched(
     stall_window: int = 25,
     stall_progress: float = 0.05,
     rescue_solver: bool = True,
+    rescue_cooldown: int = 3,
     stats: Optional[dict] = None,
 ) -> List[TrialSummary]:
     """Run every world's closed-loop trial in lockstep (batched run_trial).
@@ -98,6 +99,15 @@ def run_trials_batched(
     Ipopt spends its whole wall-clock budget exactly on such hard instances
     (armour_main.cu:227-229); the fast profile alone loses goals in
     40-obstacle clutter (measured 77 -> 68 on the self-generated suite).
+
+    rescue_cooldown: after the strong profile FAILS to recover a world, that
+    world cannot re-trigger a rescue batch for this many iterations (its
+    braking/retreat state barely changes step to step, so an immediate
+    retry re-fails at full strong-profile cost; measured on the round-5
+    re-run: ~11 press-retreat worlds re-triggered a rescue batch EVERY
+    late-run iteration).  A world that plans feasibly again resets its own
+    cooldown path naturally, and rescue results are still harvested for
+    every infeasible row whenever any eligible world triggers the batch.
 
     stats: optional dict filled in-place with batch-level economics the
     per-world summaries cannot carry: rescue_iterations / rescue_rate (share
@@ -176,6 +186,7 @@ def run_trials_batched(
     rescued_rows = 0
     recovered_rows = 0
     rescued_plans = np.zeros(W, dtype=np.int64)
+    rescue_block = np.zeros(W, dtype=np.int64)   # per-world cooldown
     from .simulator import VIOL_GROUPS
     blocked = np.zeros((W, len(VIOL_GROUPS)), dtype=np.int64)
     gd_final = np.full(W, np.nan)
@@ -242,11 +253,13 @@ def run_trials_batched(
         # per-iteration latency stats aren't conflated across profiles
         plan_times.append(t_fast)
         fast_wall += t_fast
-        if rescue is not None and np.any(~feas & active):
+        rescue_block = np.maximum(rescue_block - 1, 0)
+        if rescue is not None and np.any(~feas & active & (rescue_block == 0)):
             # strong-profile retry for the infeasible rows only (the whole
             # W-row batch is re-solved — lockstep shapes are static — but
             # only infeasible rows' results are taken)
             t0r = time.perf_counter()
+            feas_pre = feas.copy()
             res2 = rescue(q0, qd0, qdd0, waypoints, obs)
             k2 = np.asarray(res2.k)
             feas2 = np.all(np.isfinite(k2), axis=-1)
@@ -257,6 +270,8 @@ def run_trials_batched(
             recovered_rows += int(np.sum(take & active))
             rescued_plans += (take & active).astype(np.int64)
             feas = feas | feas2
+            # cooldown the worlds the strong profile just failed on
+            rescue_block[(~feas_pre) & (~feas2) & active] = rescue_cooldown
             rescue_wall += time.perf_counter() - t0r
             rescue_iters += 1
         infeasible += (~feas) & active
