@@ -114,10 +114,19 @@ def random_world(
     workspace_radius: float = 1.0,
     min_clearance: float = 0.15,
     max_tries: int = 200,
+    ensure_solvable: bool = False,
 ) -> World:
     """Rejection-sampled random scene (kinova_create_random_worlds.m /
     kinova_world_static.m:151-305 behavior): random collision-free start and
-    goal configurations, obstacles placed to keep clearance from both."""
+    goal configurations, obstacles placed to keep clearance from both.
+
+    ensure_solvable: additionally reject scenes with no unpadded
+    configuration-space path from start to goal (solvability oracle,
+    armour_tpu/solvability.py) — the reference's generator samples
+    obstacles only around the two anchor poses, which can still seal the
+    goal behind clutter at high obstacle counts; the plain rejection
+    sampler cannot see that.  Costs seconds per scene; intended for suite
+    (re)generation, not hot paths."""
     lb = np.where(robot.position_limits_lb < -100, -np.pi, robot.position_limits_lb)
     ub = np.where(robot.position_limits_ub > 100, np.pi, robot.position_limits_ub)
 
@@ -140,12 +149,23 @@ def random_world(
         if clear > min_clearance:
             centers.append(c)
             gens.append(np.diag(side / 2.0))
-    return World(
+    world = World(
         start=start,
         goal=goal,
         obstacle_centers=np.asarray(centers).reshape(-1, 3),
         obstacle_generators=np.asarray(gens).reshape(-1, 3, 3),
     )
+    if ensure_solvable:
+        from .solvability import classify_world
+
+        v = classify_world(world, robot, seed=int(rng.integers(1 << 31)),
+                           max_nodes=2000)
+        if v["verdict"] in ("static_blocked", "no_path_found"):
+            # provably (or high-confidence) impossible: resample the scene
+            return random_world(rng, robot, n_obstacles, obstacle_size_range,
+                                workspace_radius, min_clearance, max_tries,
+                                ensure_solvable=True)
+    return world
 
 
 def goal_check(q: np.ndarray, goal: np.ndarray, goal_radius: float = np.pi / 30) -> bool:
