@@ -93,12 +93,16 @@ def run_trials_batched(
     recovery (blocked straight-line worlds land in its 'stuck' bucket);
     this is a capability win the stuck<=15 acceptance target asks for.
 
-    rescue_solver: when the FAST default solver declares a plan infeasible,
+    rescue_solver: when the default solver declares a plan infeasible,
     re-solve that iteration with a strong profile (full iteration budget +
     deep screening) before accepting the braking fallback — the reference's
     Ipopt spends its whole wall-clock budget exactly on such hard instances
-    (armour_main.cu:227-229); the fast profile alone loses goals in
-    40-obstacle clutter (measured 77 -> 68 on the self-generated suite).
+    (armour_main.cu:227-229).  Measured round 5 (screen_k 1024 default):
+    rescue fired on 52.8% of batch iterations (74% of planning wall),
+    recovered 61 plans and 0 net goals vs the no-rescue baseline — rescue
+    repairs REJECTED plans but cannot repair the trajectory damage done by
+    accepted-but-poorer fast-profile plans, which is why the acceptance
+    profile keeps screen_k=4096 everywhere (config.py).
 
     rescue_cooldown: after the strong profile FAILS to recover a world, that
     world cannot re-trigger a rescue batch for this many iterations (its

@@ -132,11 +132,16 @@ class ArmourConfig:
     solver_keep_seeds: int = 2
     # geometric backtracking ladder of the inner line search (see nlp.py)
     solver_alphas: Tuple[float, ...] = (1.0, 0.25, 0.03125)
-    # screened collision rows in the solver hot loop.  4096 -> 1024 measured
-    # 2x on the contested bench with the 20-world closed-loop quality gate
-    # bit-identical (goal/stuck/safety); soundness never depended on K (the
-    # finalize check evaluates ALL rows, collision.py ScreenedCollision).
-    screen_k: int = 1024
+    # screened collision rows in the solver hot loop.  Soundness never
+    # depended on K (the finalize check evaluates ALL rows, collision.py
+    # ScreenedCollision) — but CLOSED-LOOP QUALITY does: 1024 rows measured
+    # 2x faster on the contested bench yet cost 9 goals on the 100-world
+    # suite (77 -> 68), and a strong-profile rescue at 4096 could NOT
+    # recover them (round-5 re-run: 68 goals, rescue recovered 61 plans but
+    # 0 net goals) — the fast profile's accepted-but-poorer plans steer
+    # worlds into wedged states over the 500-iteration horizon.  4096 is
+    # the acceptance profile; quality outranks the 2x.
+    screen_k: int = 4096
     solver_tol: float = 1e-4
     turn_off_input_constraints: bool = False
     # state-limit rows are tightened by this margin INSIDE the solver only;
