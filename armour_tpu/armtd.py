@@ -204,7 +204,8 @@ def plan_step_armtd(q0, qd0, q_des, obs: ObstacleSet, robot: RobotModel,
     frs = reduce_links(links, basis)
     torque = torque_frs(jrs, robot, cfg, basis)
     hyp = build_hyperplanes(frs, obs)
-    screened = screen_collision(hyp, obs, frs, cfg.screen_k)
+    screened = screen_collision(hyp, obs, frs, cfg.screen_k,
+                                cfg.screen_obstacle_quota)
     prob = PlanProblem(
         traj=jrs.traj, q_des=jnp.asarray(q_des, cfg.dtype), torque=torque,
         frs=frs, hyp=hyp, obs=obs, screened=screened,

@@ -191,8 +191,15 @@ class ScreenedCollision:
 
 
 def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
-                     K: int) -> ScreenedCollision:
-    """Rank all rows by sup_k g(k) upper bound; gather the K worst."""
+                     K: int, obstacle_quota: int = 0) -> ScreenedCollision:
+    """Rank all rows by sup_k g(k) upper bound; gather the K worst.
+
+    obstacle_quota > 0 reserves that many best rows for EVERY obstacle
+    before the remaining K - quota*O budget is filled globally (the global
+    top-K concentrates its budget on the obstacles nearest the current
+    state in clutter, starving the ones along the waypoint direction whose
+    rows become active mid-descent).  Padded obstacles' quota rows rank at
+    -BIG and arrive masked-inert."""
     T, J, O = hyp.dims
     N = T * J * O
     A = hyp.A                                                 # [3, C, N]
@@ -224,7 +231,18 @@ def screen_collision(hyp: Hyperplanes, obs: ObstacleSet, frs: LinkFRS,
     mask = jnp.broadcast_to(obs.mask[None, None, :], (T, J, O)).reshape(N)
     g_up = jnp.where(mask, -m_lb, -BIG)                       # upper bnd of g
 
-    _, idx = jax.lax.top_k(g_up, min(K, N))                   # worst K rows
+    if obstacle_quota > 0 and obstacle_quota * O < min(K, N):
+        q = obstacle_quota
+        # per-obstacle quota: top-q rows of each obstacle's [T*J] column
+        gu_o = g_up.reshape(T * J, O).T                       # [O, T*J]
+        _, idx_o = jax.lax.top_k(gu_o, q)                     # [O, q]
+        quota_idx = (idx_o * O + jnp.arange(O)[:, None]).reshape(-1)
+        # fill the remainder globally, excluding the quota rows
+        g_fill = g_up.at[quota_idx].set(-jnp.inf)
+        _, idx_g = jax.lax.top_k(g_fill, min(K, N) - q * O)
+        idx = jnp.concatenate([quota_idx, idx_g])
+    else:
+        _, idx = jax.lax.top_k(g_up, min(K, N))               # worst K rows
     return ScreenedCollision(
         A=jnp.take(A, idx, axis=-1),
         d=jnp.take(hyp.d, idx, axis=-1),

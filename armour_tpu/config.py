@@ -142,6 +142,11 @@ class ArmourConfig:
     # worlds into wedged states over the 500-iteration horizon.  4096 is
     # the acceptance profile; quality outranks the 2x.
     screen_k: int = 4096
+    # per-obstacle row quota inside the screen (collision.screen_collision):
+    # reserve this many best rows for EVERY obstacle before the global
+    # top-K fill, so clutter near the current state cannot starve the
+    # obstacles along the waypoint direction.  0 = pure global top-K.
+    screen_obstacle_quota: int = 0
     solver_tol: float = 1e-4
     turn_off_input_constraints: bool = False
     # state-limit rows are tightened by this margin INSIDE the solver only;

@@ -44,7 +44,8 @@ def plan_step(q0, qd0, qdd0, q_des, obs: ObstacleSet, robot: RobotModel,
     frs = reduce_links(links, basis)
     torque = torque_frs(jrs, robot, cfg, basis)
     hyp = build_hyperplanes(frs, obs)
-    screened = screen_collision(hyp, obs, frs, cfg.screen_k)
+    screened = screen_collision(hyp, obs, frs, cfg.screen_k,
+                                cfg.screen_obstacle_quota)
     if cfg.grasp_constraints:
         from .grasp import GraspParams, grasp_frs
 
@@ -162,7 +163,8 @@ def make_realtime_planner(robot: RobotModel, cfg: ArmourConfig,
         frs = reduce_links(forward_occupancy(jrs, robot, cfg, basis), basis)
         tq = torque_frs(jrs, robot, cfg, basis)
         hyp = build_hyperplanes(frs, obs)
-        sc = screen_collision(hyp, obs, frs, cfg.screen_k)
+        sc = screen_collision(hyp, obs, frs, cfg.screen_k,
+                              cfg.screen_obstacle_quota)
         return tq.torque_radius.sum() + sc.d.sum()
 
     t_rs = timed(reachsets_only)

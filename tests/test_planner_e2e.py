@@ -244,3 +244,58 @@ def test_realtime_planner_calibration():
     res = step(jnp.asarray(Q0), jnp.asarray(QD0), jnp.asarray(QDD0),
                jnp.asarray(Q_DES), obs)
     assert bool(res.feasible)
+
+
+def test_screen_obstacle_quota_covers_every_obstacle():
+    """With screen_obstacle_quota > 0 every REAL obstacle owns at least
+    `quota` screened rows (the global top-K can starve far obstacles in
+    clutter), the quota and fill parts never duplicate a row, and the
+    padded obstacles' quota rows arrive mask-inert."""
+    import numpy as np
+
+    from armour_tpu.collision import (build_hyperplanes, pad_obstacles,
+                                      screen_collision)
+    from armour_tpu.jrs import build_jrs
+    from armour_tpu.kinematics import forward_occupancy, reduce_links
+    from armour_tpu.models.kinova import kinova_gen3
+    from armour_tpu.pz.basis import make_basis
+
+    robot = kinova_gen3()
+    cfg = ArmourConfig(num_time_steps=16, dtype=jnp.float64, max_obstacles=8,
+                       screen_k=256)
+    basis = make_basis(7, cfg.max_poly_degree)
+    rng = np.random.default_rng(0)
+    # one obstacle close (dominates the global ranking), two far
+    centers = np.array([[0.45, 0.2, 0.4], [1.9, 1.9, 1.9], [-1.8, 1.7, 1.5]])
+    obs = pad_obstacles(centers, np.stack([np.diag([0.08] * 3)] * 3),
+                        cfg.max_obstacles, cfg.dtype)
+    q0 = jnp.zeros(7, jnp.float64)
+    jrs = build_jrs(q0, q0, q0, robot, cfg, basis)
+    frs = reduce_links(forward_occupancy(jrs, robot, cfg, basis), basis)
+    hyp = build_hyperplanes(frs, obs)
+
+    quota = 8
+    sc = screen_collision(hyp, obs, frs, K=cfg.screen_k,
+                          obstacle_quota=quota)
+    T, J, O = hyp.dims
+    # reconstruct (cell, obstacle) of every selected row: row = idx // O
+    # doesn't carry the obstacle, so re-derive from the quota layout: the
+    # first O*quota entries are per-obstacle by construction
+    o_of_quota = np.tile(np.arange(O)[:, None], (1, quota)).reshape(-1)
+    assert sc.row.shape[0] == cfg.screen_k
+    for o in range(3):          # every real obstacle owns its quota rows
+        owned = np.sum(o_of_quota == o)
+        assert owned == quota
+        assert np.all(np.asarray(sc.mask)[: O * quota][o_of_quota == o])
+    # padded obstacles' quota rows are inert
+    for o in range(3, O):
+        assert not np.any(np.asarray(sc.mask)[: O * quota][o_of_quota == o])
+    # no duplicate SELECTED INDEX between the quota block and the global
+    # fill (a duplicated row double-counts its penalty in the ALM): a
+    # duplicate would have an identical (cell row, full-precision d/delta
+    # column) signature — distinct (t, j, o) rows differ in at least one
+    d_np, delta_np = np.asarray(sc.d), np.asarray(sc.delta)
+    keys = [(int(np.asarray(sc.row)[i]), d_np[:, i].tobytes(),
+             delta_np[:, i].tobytes())
+            for i in range(sc.row.shape[0]) if np.asarray(sc.mask)[i]]
+    assert len(keys) == len(set(keys)), "duplicate screened rows"
