@@ -137,20 +137,25 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
                             true_param_scale: Optional[float] = 1.0,
                             seed: int = 0, verbose: bool = True,
                             results_path: Optional[str] = None,
-                            extra_stats: Optional[dict] = None) -> List[SuiteResult]:
+                            extra_stats: Optional[dict] = None,
+                            rescue_solver: bool = True,
+                            guidance: str = "straight") -> List[SuiteResult]:
     """All worlds advanced in lockstep on one chip (batch_sim.run_trials_batched);
     orders of magnitude faster than the serial loop for the 100-world suite.
     extra_stats: merged into the saved batch_stats (e.g. the realtime-budget
-    calibration record)."""
+    calibration record); rescue_solver/guidance pass through to
+    run_trials_batched."""
     from .batch_sim import run_trials_batched
 
     worlds = [load_world_csv(p) for p in world_paths]
     t0 = time.perf_counter()
     batch_stats: dict = dict(extra_stats or {})
+    batch_stats["rescue_solver"] = rescue_solver
+    batch_stats["guidance"] = guidance
     summaries = run_trials_batched(
         worlds, robot, cfg, max_iterations=max_iterations,
         true_param_scale=true_param_scale, seed=seed, verbose=verbose,
-        stats=batch_stats,
+        stats=batch_stats, rescue_solver=rescue_solver, guidance=guidance,
     )
     results = [
         SuiteResult(world=os.path.basename(p), summary=s)
