@@ -382,6 +382,11 @@ def run_trials_batched(
         n_iter = max(len(plan_times), 1)
         total_wall = fast_wall + rescue_wall
         stats.update({
+            # per-world planning_times in the summaries are AMORTIZED batch
+            # shares (batch wall / W), not solve latencies — not comparable
+            # to the 0.5 s per-solve budget (armour_main.cu:227-229); see
+            # bench.py latency_batch1_ms / budget-mode runs for that
+            "planning_time_semantics": "amortized_batch_share",
             "batch_iterations": len(plan_times),
             "rescue_iterations": rescue_iters,
             "rescue_rate": rescue_iters / n_iter,
