@@ -53,7 +53,11 @@ def main():
             paths, robot, cfg, results_path=out,
             extra_stats={"budget_calibration": calib, "budget_mode": True})
     else:
-        results = run_world_suite_batched(paths, robot, cfg, results_path=out)
+        # acceptance configuration (measured round 5): config-RRT*-first
+        # guidance for blocked worlds, no rescue solver (net -3 goals on
+        # cluttered scenes at 2x wall cost; see results_worlds*.json)
+        results = run_world_suite_batched(paths, robot, cfg, results_path=out,
+                                          rescue_solver=False, guidance="auto")
     print(json.dumps(summarize(results), indent=1))
 
 
