@@ -307,6 +307,7 @@ def run_trial(
     stall_window: int = 25,
     stall_progress: float = 0.05,
     rescue_step=None,
+    max_fallback_regrows: int = 50,
 ) -> TrialSummary:
     """One closed-loop trial on one world (kinova_run_100_worlds.m per-world
     loop).  planner_step = make_planner(robot, cfg) output.  Pass precompiled
@@ -411,10 +412,11 @@ def run_trial(
             stall_iters = 0
         else:
             stall_iters += 1
-        # cap regrows at 6 like batch_sim's may_regrow: a guidance-proof
-        # world would otherwise rebuild the RRT* every stall_window
-        # iterations for up to max_iterations, paying host seconds each time
-        if fallback_count < 6 and (
+        # regrow cap (parity with batch_sim.max_fallback_regrows): default
+        # high — quality outranks the host seconds (a low cap of 6 cost a
+        # hard scenario its late-regrow recovery); lower it for
+        # throughput-bound runs
+        if fallback_count < max_fallback_regrows and (
                 stall_iters >= stall_window
                 or (stop_count == 2 and fallback_count == 0)):
             from .hlp import ConfigRRTStarHLP
