@@ -28,6 +28,18 @@ number separates planner weakness from impossible worlds:
 The search is the same bidirectional-connect config-space machinery the
 stall fallback uses (hlp.ConfigRRTStarHLP) with the buffer pinned — the
 oracle must NOT use the planner under test, only geometry.
+
+The capsule model is a heuristic; the EXACT impossibility test is the
+planner's own certified reachable set evaluated at rest (k = 0 from zero
+velocity): if the rest-FRS of the start configuration already penetrates a
+buffered obstacle, NO sound planner of this conservatism can ever emit a
+feasible plan from that scene — it is stuck at iteration 0 by
+construction.  Symmetrically, a goal whose rest-FRS is in collision cannot
+be certifiably parked at.  `rest_frs_collision` computes that margin and
+`classify_world` overrides the capsule verdict with `frs_blocked_start` /
+`frs_blocked_goal` when it fires (both regeneratable: the reference's
+generator keeps obstacles clear of both anchor poses,
+kinova_world_static.m:151-305).
 """
 
 from __future__ import annotations
@@ -74,10 +86,78 @@ def _connects(world: World, robot: RobotModel, buffer: float, seed: int,
     return False
 
 
+_REST_CHECKERS: dict = {}
+
+
+def make_rest_frs_checker(robot: RobotModel):
+    """Jitted exact rest-FRS collision margin: (q, padded ObstacleSet) ->
+    max collision violation of the certified planner's k = 0 plan from zero
+    velocity at q.  > 0 means the stationary arm's certified envelope
+    already penetrates an obstacle — infeasible for every k in practice
+    (the k = 0 envelope is the smallest the trajectory family produces).
+    Cached per robot; first call pays one jit compile."""
+    key = id(robot)
+    if key in _REST_CHECKERS:
+        return _REST_CHECKERS[key]
+    import jax
+    import jax.numpy as jnp
+
+    from .collision import build_hyperplanes, screen_collision
+    from .config import ArmourConfig
+    from .dynamics import torque_frs
+    from .jrs import build_jrs
+    from .kinematics import forward_occupancy, reduce_links
+    from .nlp import PlanProblem, max_violations
+    from .pz.basis import make_basis
+
+    cfg = ArmourConfig(dtype=jnp.float32)
+    basis = make_basis(robot.num_factors, cfg.max_poly_degree)
+
+    @jax.jit
+    def margin(q, obs):
+        q0 = jnp.asarray(q, cfg.dtype)
+        z = jnp.zeros_like(q0)
+        jrs = build_jrs(q0, z, z, robot, cfg, basis)
+        frs = reduce_links(forward_occupancy(jrs, robot, cfg, basis), basis)
+        tq = torque_frs(jrs, robot, cfg, basis)
+        hyp = build_hyperplanes(frs, obs)
+        scr = screen_collision(hyp, obs, frs, cfg.screen_k,
+                               cfg.screen_obstacle_quota)
+        prob = PlanProblem(traj=jrs.traj, q_des=q0, torque=tq, frs=frs,
+                           hyp=hyp, obs=obs, screened=scr)
+        return max_violations(jnp.zeros_like(q0), prob, robot, cfg, basis)[1]
+
+    def check(q, world: World) -> float:
+        from .collision import pad_obstacles
+
+        obs = pad_obstacles(world.obstacle_centers, world.obstacle_generators,
+                            cfg.max_obstacles, cfg.dtype)
+        return float(margin(jnp.asarray(q, cfg.dtype), obs))
+
+    _REST_CHECKERS[key] = check
+    return check
+
+
 def classify_world(world: World, robot: RobotModel, seed: int = 0,
-                   max_nodes: int = 3000) -> dict:
+                   max_nodes: int = 3000, frs_check: bool = True) -> dict:
     """Solvability verdict for one world.  Returns a dict with `verdict`
-    (one of the module-docstring classes) and the intermediate booleans."""
+    (one of the module-docstring classes) and the intermediate booleans.
+
+    frs_check=True runs the exact rest-FRS test first (module docstring):
+    it is the only PROOF of impossibility here — the capsule-based classes
+    below it are heuristic."""
+    if frs_check:
+        rest = make_rest_frs_checker(robot)
+        vs = rest(world.start, world)
+        if vs > 0.0:
+            return {"verdict": "frs_blocked_start", "start_free": False,
+                    "goal_free": True, "path_padded": False,
+                    "path_unpadded": False, "rest_frs_start": vs}
+        vg = rest(world.goal, world)
+        if vg > 0.0:
+            return {"verdict": "frs_blocked_goal", "start_free": True,
+                    "goal_free": False, "path_padded": False,
+                    "path_unpadded": False, "rest_frs_goal": vg}
     probe = ConfigRRTStarHLP(world, robot, buffer=0.0, seed=seed)
     start_free = probe._config_free(np.asarray(world.start, float))
     goal_free = probe._config_free(np.asarray(world.goal, float))

@@ -160,7 +160,8 @@ def random_world(
 
         v = classify_world(world, robot, seed=int(rng.integers(1 << 31)),
                            max_nodes=2000)
-        if v["verdict"] in ("static_blocked", "no_path_found"):
+        if v["verdict"] in ("static_blocked", "no_path_found",
+                            "frs_blocked_start", "frs_blocked_goal"):
             # provably (or high-confidence) impossible: resample the scene
             return random_world(rng, robot, n_obstacles, obstacle_size_range,
                                 workspace_radius, min_clearance, max_tries,

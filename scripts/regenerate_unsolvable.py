@@ -37,7 +37,9 @@ def main():
     rng = np.random.default_rng(20260821)
     for rec in doc["results"]:
         v = rec.get("solvability")
-        if not v or v["verdict"] not in ("static_blocked", "no_path_found"):
+        if not v or v["verdict"] not in ("static_blocked", "no_path_found",
+                                         "frs_blocked_start",
+                                         "frs_blocked_goal"):
             continue
         path = os.path.join(world_dir, rec["world"])
         old = load_world_csv(path)
