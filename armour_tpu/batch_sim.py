@@ -46,8 +46,16 @@ def stack_worlds(worlds: Sequence[World], cfg: ArmourConfig):
 
 
 def _batched_true_params(robot: RobotModel, rng: np.random.Generator, W: int,
-                         scale: Optional[float]) -> TrueParams:
-    tps = [sample_true_params(robot, rng, scale=scale) for _ in range(W)]
+                         scale: Optional[float],
+                         indices: Optional[Sequence[int]] = None,
+                         total: Optional[int] = None) -> TrueParams:
+    """indices/total: sample the FULL `total`-world sequence and keep only
+    `indices` — a resumed sub-batch then draws bit-identical true params to
+    the fresh full run (experiments.run_world_suite_batched resume=True)."""
+    n = total if total is not None else W
+    tps = [sample_true_params(robot, rng, scale=scale) for _ in range(n)]
+    if indices is not None:
+        tps = [tps[i] for i in indices]
     return TrueParams(
         mass=jnp.stack([t.mass for t in tps]),
         inertia=jnp.stack([t.inertia for t in tps]),
@@ -75,6 +83,8 @@ def run_trials_batched(
     max_fallback_regrows: int = 50,
     guidance: str = "straight",
     stats: Optional[dict] = None,
+    tp_indices: Optional[Sequence[int]] = None,
+    tp_total: Optional[int] = None,
 ) -> List[TrialSummary]:
     """Run every world's closed-loop trial in lockstep (batched run_trial).
 
@@ -122,6 +132,11 @@ def run_trials_batched(
     the capsule model get a config-RRT* roadmap as PRIMARY guidance from
     iteration 0 (the stall machinery still regrows it on later stalls).
 
+    tp_indices/tp_total: resume support — the worlds are a sub-batch at
+    these original suite indices out of tp_total; true params are drawn
+    bit-identical to the fresh full run (guidance RRT* seeds are keyed by
+    batch position and may differ; only true-param parity is promised).
+
     stats: optional dict filled in-place with batch-level economics the
     per-world summaries cannot carry: rescue_iterations / rescue_rate (share
     of batch iterations that triggered the strong profile), fast vs rescue
@@ -136,7 +151,8 @@ def run_trials_batched(
                for w in worlds), "batched suite supports configuration goals"
     starts, goals_np, obs = stack_worlds(worlds, cfg)
     rng = np.random.default_rng(seed)
-    tp = _batched_true_params(robot, rng, W, true_param_scale)
+    tp = _batched_true_params(robot, rng, W, true_param_scale,
+                              indices=tp_indices, total=tp_total)
     hlps = None
     if use_hlp:
         from .hlp import EndEffectorRRTStarHLP

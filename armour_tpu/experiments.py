@@ -139,27 +139,53 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
                             results_path: Optional[str] = None,
                             extra_stats: Optional[dict] = None,
                             rescue_solver: bool = True,
-                            guidance: str = "straight") -> List[SuiteResult]:
+                            guidance: str = "straight",
+                            resume: bool = False) -> List[SuiteResult]:
     """All worlds advanced in lockstep on one chip (batch_sim.run_trials_batched);
     orders of magnitude faster than the serial loop for the 100-world suite.
     extra_stats: merged into the saved batch_stats (e.g. the realtime-budget
     calibration record); rescue_solver/guidance pass through to
-    run_trials_batched."""
+    run_trials_batched.
+
+    resume=True: worlds already present in results_path are reloaded and
+    only the missing ones run, as a sub-batch whose true params are drawn
+    bit-identical to the fresh full run (tp_indices plumbing in
+    batch_sim)."""
     from .batch_sim import run_trials_batched
 
-    worlds = [load_world_csv(p) for p in world_paths]
+    names = [os.path.basename(p) for p in world_paths]
+    done: dict = {}
+    if resume and results_path and os.path.exists(results_path):
+        with open(results_path) as f:
+            for d in json.load(f).get("results", []):
+                name = d.pop("world")
+                d.pop("bucket", None)
+                d.pop("solvability", None)
+                if name in names:
+                    done[name] = SuiteResult(world=name,
+                                             summary=TrialSummary(**d))
+    todo = [i for i, n in enumerate(names) if n not in done]
+    if not todo:
+        return [done[n] for n in names]
+
+    worlds = [load_world_csv(world_paths[i]) for i in todo]
     t0 = time.perf_counter()
     batch_stats: dict = dict(extra_stats or {})
     batch_stats["rescue_solver"] = rescue_solver
     batch_stats["guidance"] = guidance
+    if done:
+        batch_stats["resumed_worlds"] = len(done)
     summaries = run_trials_batched(
         worlds, robot, cfg, max_iterations=max_iterations,
         true_param_scale=true_param_scale, seed=seed, verbose=verbose,
         stats=batch_stats, rescue_solver=rescue_solver, guidance=guidance,
+        tp_indices=(todo if done else None),
+        tp_total=(len(names) if done else None),
     )
+    fresh = {names[i]: s for i, s in zip(todo, summaries)}
     results = [
-        SuiteResult(world=os.path.basename(p), summary=s)
-        for p, s in zip(world_paths, summaries)
+        done[n] if n in done else SuiteResult(world=n, summary=fresh[n])
+        for n in names
     ]
     if verbose:
         print(f"batched suite: {len(worlds)} worlds in "

