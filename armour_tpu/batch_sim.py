@@ -85,6 +85,7 @@ def run_trials_batched(
     stats: Optional[dict] = None,
     tp_indices: Optional[Sequence[int]] = None,
     tp_total: Optional[int] = None,
+    fallback_kwargs: Optional[dict] = None,
 ) -> List[TrialSummary]:
     """Run every world's closed-loop trial in lockstep (batched run_trial).
 
@@ -131,6 +132,10 @@ def run_trials_batched(
     'auto': worlds whose straight start->goal config segment is blocked by
     the capsule model get a config-RRT* roadmap as PRIMARY guidance from
     iteration 0 (the stall machinery still regrows it on later stalls).
+
+    fallback_kwargs: extra ConfigRRTStarHLP kwargs for BOTH the auto-routing
+    roadmaps and the stall-fallback regrows (e.g. lookahead, max_nodes); a
+    'buffer' entry overrides the regrow widening ladder.
 
     tp_indices/tp_total: resume support — the worlds are a sub-batch at
     these original suite indices out of tp_total; true params are drawn
@@ -228,7 +233,8 @@ def run_trials_batched(
 
         n_routed = 0
         for i, w in enumerate(worlds):
-            h = ConfigRRTStarHLP(w, robot, seed=seed + 31 * i)
+            h = ConfigRRTStarHLP(w, robot, seed=seed + 31 * i,
+                                 **(fallback_kwargs or {}))
             s0 = np.asarray(w.start, float)
             g0 = np.asarray(w.goal, float)
             if not h._edge_free(s0, g0):
@@ -365,8 +371,9 @@ def run_trials_batched(
             # track, the next roadmap detours further from the obstacles
             fallback[i] = ConfigRRTStarHLP(
                 worlds[i], robot,
-                buffer=0.08 + 0.04 * int(fallback_regrows[i]),
-                seed=seed + 7919 * (int(fallback_regrows[i]) + 1) + i)
+                seed=seed + 7919 * (int(fallback_regrows[i]) + 1) + i,
+                **{"buffer": 0.08 + 0.04 * int(fallback_regrows[i]),
+                   **(fallback_kwargs or {})})
             fallback_regrows[i] += 1
             stall_count[i] = 0
             if verbose:
