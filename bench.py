@@ -66,7 +66,13 @@ def main():
     from armour_tpu.utils.timing import bench as _bench
 
     cfg = ArmourConfig(dtype=jnp.float32)
-    batch = 64
+    # throughput batch: the planning step is launch-overhead-bound well past
+    # batch 64 on one chip (small tensors, many fused kernels), so larger
+    # lockstep batches raise solves/s almost linearly until HBM pressure;
+    # override for sweeps with ARMOUR_BENCH_BATCH.
+    import os as _os
+
+    batch = int(_os.environ.get("ARMOUR_BENCH_BATCH", "64"))
     robot, args = _scene_instances(cfg, batch)
 
     # --- batch throughput (the TPU scale axis) ---

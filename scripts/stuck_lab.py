@@ -54,7 +54,13 @@ def main():
         "lookahead_0.5": {"lookahead": 0.5},
         "fb_lookahead_0.2": {"fallback_kwargs": {"lookahead": 0.2}},
         "fb_nodes_3000": {"fallback_kwargs": {"max_nodes": 3000}},
+        "stop_8": {"stop_threshold": 8},
+        "iters_1000": {"max_iterations": 1000},
     }
+    only = os.environ.get("STUCK_LAB_VARIANTS")
+    if only:
+        variants = {k: v for k, v in variants.items()
+                    if k in only.split(",")}
     report = {}
     for vname, kw in variants.items():
         kw = dict(kw)
