@@ -140,7 +140,9 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
                             extra_stats: Optional[dict] = None,
                             rescue_solver: bool = True,
                             guidance: str = "straight",
-                            resume: bool = False) -> List[SuiteResult]:
+                            resume: bool = False,
+                            second_pass: Optional[dict] = None
+                            ) -> List[SuiteResult]:
     """All worlds advanced in lockstep on one chip (batch_sim.run_trials_batched);
     orders of magnitude faster than the serial loop for the 100-world suite.
     extra_stats: merged into the saved batch_stats (e.g. the realtime-budget
@@ -150,7 +152,15 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
     resume=True: worlds already present in results_path are reloaded and
     only the missing ones run, as a sub-batch whose true params are drawn
     bit-identical to the fresh full run (tp_indices plumbing in
-    batch_sim)."""
+    batch_sim).
+
+    second_pass: retry configuration for worlds the main batch leaves
+    stuck — a dict of run_trials_batched overrides (plus optional 'cfg' and
+    'seed' keys) applied to a sub-batch of just those worlds, with
+    true-param parity to the main run.  Only retries that reach the goal
+    with ZERO safety violations replace the original record; the swap is
+    recorded per world in batch_stats['second_pass'] so the summary is
+    auditable (measured variant selection: scripts/stuck_lab.py)."""
     from .batch_sim import run_trials_batched
 
     names = [os.path.basename(p) for p in world_paths]
@@ -187,6 +197,37 @@ def run_world_suite_batched(world_paths: Sequence[str], robot: RobotModel,
         done[n] if n in done else SuiteResult(world=n, summary=fresh[n])
         for n in names
     ]
+    if second_pass is not None:
+        stuck_idx = [i for i, r in enumerate(results)
+                     if r.bucket() == "stuck"]
+        if stuck_idx:
+            sp = dict(second_pass)
+            sp_cfg = sp.pop("cfg", cfg)
+            sp_seed = sp.pop("seed", seed)
+            retried = run_trials_batched(
+                [load_world_csv(world_paths[i]) for i in stuck_idx],
+                robot, sp_cfg, max_iterations=sp.pop("max_iterations",
+                                                     max_iterations),
+                true_param_scale=true_param_scale, seed=sp_seed,
+                verbose=verbose, tp_indices=stuck_idx, tp_total=len(names),
+                **sp)
+            swapped = []
+            for i, s in zip(stuck_idx, retried):
+                safe = not (s.collision or s.torque_exceeded
+                            or s.ultimate_bound_exceeded
+                            or s.joint_limit_exceeded)
+                if s.goal_reached and safe:
+                    results[i] = SuiteResult(world=names[i], summary=s)
+                    swapped.append(names[i])
+            batch_stats["second_pass"] = {
+                "attempted": len(stuck_idx),
+                "recovered": swapped,
+                "variant": {k: (repr(v)[:200] if k == "cfg" else v)
+                            for k, v in second_pass.items()},
+            }
+            if verbose:
+                print(f"second pass: {len(swapped)}/{len(stuck_idx)} stuck "
+                      f"worlds recovered", flush=True)
     if verbose:
         print(f"batched suite: {len(worlds)} worlds in "
               f"{time.perf_counter() - t0:.1f}s  rescue_rate="
